@@ -1,0 +1,185 @@
+"""Index construction: FASTA -> FmIndex (ref: bt2_build.cpp:376 driver,
+blockwise_sa.h, ref_read.cpp).
+
+The reference builds its suffix array with a blockwise Kärkkäinen
+difference-cover sort (or libsais) to bound memory; construction is a
+host-side, one-time cost, so we use a simple prefix-doubling suffix-array
+construction vectorized in numpy (O(n log n) lexsorts). This is plenty for
+bacterial/fungal genomes; a C++ SA-IS backend is the planned upgrade for
+mammalian-scale builds (same on-disk format).
+
+Reference parsing follows ref_read.cpp's model: ambiguous characters are
+excluded from the indexed text; each maximal unambiguous run becomes a
+"run record" (RefRecord equivalent) mapping joined offsets back to
+(reference, offset). The full reference including Ns is kept separately for
+DP window fetches (ref: reference.cpp BitPairReference).
+"""
+from __future__ import annotations
+
+import io
+from pathlib import Path
+
+import numpy as np
+
+from ..utils import dna
+from .fm import FTAB_CHARS, OCC_BLOCK, FmDirection, FmIndex
+
+
+def parse_fasta(path_or_text) -> tuple[list[str], list[np.ndarray]]:
+    """Parse FASTA into (names, code arrays incl. N=4)."""
+    if isinstance(path_or_text, (str, Path)) and "\n" not in str(path_or_text):
+        data = Path(path_or_text).read_bytes()
+    elif isinstance(path_or_text, bytes):
+        data = path_or_text
+    else:
+        data = str(path_or_text).encode()
+    names: list[str] = []
+    seqs: list[np.ndarray] = []
+    cur: list[bytes] = []
+    for line in io.BytesIO(data):
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith(b">"):
+            if names:
+                seqs.append(dna.encode(b"".join(cur)))
+                cur = []
+            names.append(line[1:].split()[0].decode())
+        else:
+            cur.append(line)
+    if names:
+        seqs.append(dna.encode(b"".join(cur)))
+    return names, seqs
+
+
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (numpy lexsort). Terminator-free:
+    shorter suffixes sort before longer ones sharing a prefix ($ < all)."""
+    n = len(text)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    # rank starts at char+1 so 0 can mean "past end" (the implicit $).
+    rank = text.astype(np.int64) + 1
+    idx = np.arange(n, dtype=np.int64)
+    k = 1
+    while True:
+        second = np.where(idx + k < n, np.append(rank[k:], np.zeros(min(k, n), dtype=np.int64))[:n], 0)
+        order = np.lexsort((second, rank))
+        # new ranks: group identical (rank, second) pairs
+        r_o, s_o = rank[order], second[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 1
+        changed[1:] = (r_o[1:] != r_o[:-1]) | (s_o[1:] != s_o[:-1])
+        new_rank_sorted = np.cumsum(changed)
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = new_rank_sorted
+        rank = new_rank
+        if new_rank_sorted[-1] == n:
+            return order
+        k *= 2
+        if k >= 2 * n:  # safety: should have converged
+            return order
+
+
+def _build_direction(text: np.ndarray, sa: np.ndarray) -> FmDirection:
+    """Build one direction's FM arrays in standard (n+1)-row space: row 0 is
+    the empty ($) suffix whose BWT char is the last text char; the row whose
+    suffix starts at text position 0 holds a counted-as-nothing hole (code 4).
+    C[c] = 1 + #{text chars < c} accounts for the $ row sorting first."""
+    n = len(text)
+    n_rows = n + 1
+    dtype = np.uint32 if n_rows < (1 << 32) else np.uint64
+    bwt = np.empty(n_rows, dtype=np.uint8)
+    bwt[0] = text[n - 1]
+    bwt[1:] = np.where(sa > 0, text[(sa - 1) % max(n, 1)], 4).astype(np.uint8)
+    primary = 1 + int(np.nonzero(sa == 0)[0][0])
+    sa_std = np.empty(n_rows, dtype=dtype)
+    sa_std[0] = n  # the empty suffix; never inside a nonempty-pattern range
+    sa_std[1:] = sa.astype(dtype)
+
+    # Occ checkpoints: occ[k, c] = count of c in bwt[0 : k*OCC_BLOCK].
+    n_blocks = (n_rows + OCC_BLOCK - 1) // OCC_BLOCK
+    onehot = np.zeros((n_blocks * OCC_BLOCK, 4), dtype=np.uint32)
+    valid = bwt < 4
+    onehot[np.nonzero(valid)[0], bwt[valid]] = 1
+    per_block = onehot.reshape(n_blocks, OCC_BLOCK, 4).sum(axis=1, dtype=np.uint64)
+    occ = np.zeros((n_blocks + 1, 4), dtype=np.uint32)
+    occ[1:] = np.cumsum(per_block, axis=0).astype(np.uint32)
+
+    counts = np.bincount(text, minlength=4)[:4]
+    cnt = np.ones(5, dtype=np.int64)  # the leading 1 is the $ row
+    cnt[1:] += np.cumsum(counts)
+
+    # ftab: row ranges per FTAB_CHARS-mer. Keys: packed prefix, A-padded for
+    # short suffixes, which sort first among equal keys, so we bump `top`
+    # past them (a k-char pattern cannot match a <k-char suffix). Row indices
+    # are in standard space (+1 for the $ row, which sorts before everything).
+    k = FTAB_CHARS
+    pows = (4 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+    padded = np.concatenate([text.astype(np.int64), np.zeros(k, dtype=np.int64)])
+    starts = sa.astype(np.int64)
+    keys = np.zeros(n, dtype=np.int64)
+    for i in range(k):
+        keys += padded[starts + i] * pows[i]
+    short = starts > n - k  # suffixes shorter than k
+    all_kmers = np.arange(4 ** k, dtype=np.int64)
+    top = np.searchsorted(keys, all_kmers, side="left") + 1
+    bot = np.searchsorted(keys, all_kmers, side="right") + 1
+    if short.any():
+        short_keys = keys[short]
+        bump = np.bincount(short_keys, minlength=4 ** k)
+        top = top + bump
+    return FmDirection(
+        bwt=bwt, occ=occ, cnt=cnt, sa=sa_std, primary=primary,
+        ftab_top=top.astype(np.uint32), ftab_bot=bot.astype(np.uint32))
+
+
+def build_index(fasta, both_directions: bool = True) -> FmIndex:
+    """Build the full index from a FASTA path/bytes/text."""
+    names, seqs = parse_fasta(fasta)
+    if not names:
+        raise ValueError("no sequences in FASTA input")
+
+    runs_js, runs_rid, runs_roff = [], [], []
+    joined_parts = []
+    joined_len = 0
+    ref_full_parts, ref_full_start, ref_lens = [], [], []
+    total_full = 0
+    for rid, seq in enumerate(seqs):
+        ref_full_start.append(total_full)
+        ref_full_parts.append(seq)
+        ref_lens.append(len(seq))
+        total_full += len(seq)
+        # maximal unambiguous runs
+        ok = seq < 4
+        if len(seq) == 0:
+            continue
+        d = np.diff(ok.astype(np.int8))
+        starts = np.nonzero(np.concatenate([[ok[0]], d == 1]))[0]
+        ends = np.nonzero(np.concatenate([d == -1, [ok[-1]]]))[0] + 1
+        for s, e in zip(starts, ends):
+            runs_js.append(joined_len)
+            runs_rid.append(rid)
+            runs_roff.append(int(s))
+            joined_parts.append(seq[s:e])
+            joined_len += int(e - s)
+
+    joined = (np.concatenate(joined_parts) if joined_parts
+              else np.zeros(0, dtype=np.uint8))
+    sa_fw = suffix_array(joined)
+    fw = _build_direction(joined, sa_fw)
+    mirror = None
+    if both_directions:
+        rev = joined[::-1].copy()
+        mirror = _build_direction(rev, suffix_array(rev))
+
+    return FmIndex(
+        fw=fw, mirror=mirror, joined=joined,
+        run_joined_start=np.asarray(runs_js, dtype=np.int64),
+        run_ref_id=np.asarray(runs_rid, dtype=np.int32),
+        run_ref_off=np.asarray(runs_roff, dtype=np.int64),
+        ref_full=(np.concatenate(ref_full_parts) if ref_full_parts
+                  else np.zeros(0, dtype=np.uint8)),
+        ref_full_start=np.asarray(ref_full_start, dtype=np.int64),
+        ref_lens=np.asarray(ref_lens, dtype=np.int64),
+        ref_names=names)

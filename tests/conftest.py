@@ -1,0 +1,28 @@
+"""Test config: run everything on a virtual 8-device CPU mesh so sharding
+code paths are exercised without TPU hardware."""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The environment's sitecustomize pre-imports jax and registers the TPU
+# backend; switching the platform config before first backend use still works.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)
+
+
+@pytest.fixture(scope="session")
+def lambda_fasta():
+    return "/root/reference/example/reference/lambda_virus.fa"

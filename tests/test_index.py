@@ -1,0 +1,120 @@
+"""Index construction tests: suffix array, BWT/occ/ftab, coordinate maps."""
+import numpy as np
+import pytest
+
+from bowtie2_server_tpu.index.build import build_index, parse_fasta, suffix_array
+from bowtie2_server_tpu.index.fm import search_exact, occ_at
+from bowtie2_server_tpu.utils import dna
+
+
+def naive_suffix_array(text):
+    n = len(text)
+    suffixes = sorted(range(n), key=lambda i: tuple(text[i:]))
+    return np.array(suffixes)
+
+
+def test_suffix_array_small(rng):
+    for n in [1, 2, 5, 17, 100, 257]:
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        sa = suffix_array(t)
+        expected = naive_suffix_array(t)
+        np.testing.assert_array_equal(sa, expected)
+
+
+def test_suffix_array_repetitive():
+    t = dna.encode("ACGT" * 64 + "AAAA" * 32)
+    np.testing.assert_array_equal(suffix_array(t), naive_suffix_array(t))
+
+
+def test_parse_fasta_multi():
+    fasta = ">chr1 desc\nACGT\nACNT\n>chr2\nGGGG\n"
+    names, seqs = parse_fasta(fasta)
+    assert names == ["chr1", "chr2"]
+    assert dna.decode(seqs[0]) == "ACGTACNT"
+    assert dna.decode(seqs[1]) == "GGGG"
+
+
+@pytest.fixture(scope="module")
+def small_index(rng):
+    seq = dna.decode(np.random.default_rng(7).integers(0, 4, 2000).astype(np.uint8))
+    return build_index(f">r1\n{seq}\n"), dna.encode(seq)
+
+
+def test_fm_exact_search_finds_all_occurrences(small_index, rng):
+    idx, text = small_index
+    n = len(text)
+    for L in [5, 12, 22, 50]:
+        for _ in range(20):
+            s = int(rng.integers(0, n - L))
+            pat = text[s:s + L]
+            top, bot = search_exact(idx.fw, pat)
+            offs = sorted(int(idx.fw.sa[r]) for r in range(top, bot))
+            # naive occurrence scan
+            expected = [i for i in range(n - L + 1)
+                        if np.array_equal(text[i:i + L], pat)]
+            assert offs == expected
+
+
+def test_fm_mirror_search(small_index, rng):
+    idx, text = small_index
+    n = len(text)
+    rev = text[::-1]
+    for _ in range(10):
+        s = int(rng.integers(0, n - 20))
+        pat = rev[s:s + 20]
+        top, bot = search_exact(idx.mirror, pat)
+        assert bot > top
+        offs = [int(idx.mirror.sa[r]) for r in range(top, bot)]
+        assert s in offs
+
+
+def test_occ_checkpoints_consistent(small_index):
+    idx, _ = small_index
+    d = idx.fw
+    for row in [0, 1, 64, 127, 128, 129, 1000, d.n]:
+        for c in range(4):
+            expected = int(np.count_nonzero(d.bwt[:row] == c))
+            assert occ_at(d, c, row) == expected
+
+
+def test_no_match_returns_empty(small_index):
+    idx, _ = small_index
+    # pattern with N can never match
+    pat = np.array([0, 1, 4, 2], dtype=np.uint8)
+    assert search_exact(idx.fw, pat) == (0, 0)
+
+
+def test_joined_to_ref_with_ns():
+    fasta = ">a\nACGTNNNNACGTACGT\n>b\nTTTT\n"
+    idx = build_index(fasta)
+    # joined = ACGT + ACGTACGT + TTTT; runs: (a,0,len4),(a,8,len8),(b,0,len4)
+    assert idx.n == 16
+    rid, roff, valid = idx.joined_to_ref(np.array([0, 3, 4, 11, 12, 15]))
+    np.testing.assert_array_equal(rid, [0, 0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(roff, [0, 3, 8, 15, 0, 3])
+    # alignment of length 2 starting at joined 3 straddles a run boundary
+    _, _, v = idx.joined_to_ref(np.array([3]), aln_len=2)
+    assert not v[0]
+    _, _, v = idx.joined_to_ref(np.array([3]), aln_len=1)
+    assert v[0]
+
+
+def test_ref_stretch_pads_n():
+    idx = build_index(">a\nACGTACGT\n")
+    s = idx.get_ref_stretch(0, -2, 6)
+    np.testing.assert_array_equal(s, [4, 4, 0, 1, 2, 3])
+    s = idx.get_ref_stretch(0, 6, 4)
+    np.testing.assert_array_equal(s, [2, 3, 4, 4])
+
+
+def test_save_load_roundtrip(small_index, tmp_path):
+    idx, text = small_index
+    idx.save(tmp_path / "test")
+    from bowtie2_server_tpu.index.fm import FmIndex
+    idx2 = FmIndex.load(tmp_path / "test")
+    np.testing.assert_array_equal(idx2.fw.bwt, idx.fw.bwt)
+    np.testing.assert_array_equal(idx2.fw.sa, idx.fw.sa)
+    np.testing.assert_array_equal(idx2.joined, idx.joined)
+    assert idx2.ref_names == idx.ref_names
+    pat = text[100:130]
+    assert search_exact(idx2.fw, pat) == search_exact(idx.fw, pat)
