@@ -1,0 +1,115 @@
+"""CLI entry points (ref: the bowtie2/bowtie2-build/bowtie2-inspect wrappers
+and bt2_search.cpp option surface — a subset grows here each round).
+
+Usage:
+  python -m bowtie2_server_tpu build <ref.fa> <index_base>
+  python -m bowtie2_server_tpu align -x <index_base> -U <reads.fq> [-S out.sam]
+         [--local] [--cpu] [--batch N]
+  python -m bowtie2_server_tpu inspect <index_base> [-n | -s]
+  python -m bowtie2_server_tpu server -x <index_base> [--port 8080]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _force_cpu():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_build(args):
+    from .index.build import build_index
+    t0 = time.time()
+    idx = build_index(args.ref)
+    idx.save(args.base)
+    print(f"built index {args.base} ({idx.n} bp, {idx.n_refs} refs) "
+          f"in {time.time()-t0:.1f}s", file=sys.stderr)
+
+
+def cmd_align(args):
+    if args.cpu:
+        _force_cpu()
+    from .align.pipeline import SearchPolicy, UnpairedAligner
+    from .index.fm import FmIndex
+    from .io.fastq import iter_fastq
+    from .io.sam import sam_header, sam_record
+    from .utils.scoring import Scoring
+
+    idx = FmIndex.load(args.index)
+    sc = Scoring.default_local() if args.local else Scoring.default_e2e()
+    al = UnpairedAligner(idx, scoring=sc)
+    out = open(args.S, "w") if args.S else sys.stdout
+    out.write(sam_header(idx.ref_names, idx.ref_lens,
+                         " ".join(sys.argv)))
+    t0 = time.time()
+    n = n_aligned = 0
+    for batch in iter_fastq(args.U, batch_size=args.batch):
+        recs = al.align_batch(batch)
+        for r in recs:
+            out.write(sam_record(r, idx.ref_names) + "\n")
+        n += len(recs)
+        n_aligned += sum(r.aligned for r in recs)
+    dt = time.time() - t0
+    print(f"{n} reads; {n_aligned} aligned ({100.0*n_aligned/max(n,1):.2f}%); "
+          f"{n/max(dt,1e-9):.0f} reads/s", file=sys.stderr)
+    if args.S:
+        out.close()
+
+
+def cmd_inspect(args):
+    """ref: bt2_inspect.cpp:255-330 — names, summary, or FASTA reconstruction.
+    We keep the full reference (with Ns) in the index, so reconstruction is a
+    direct dump rather than an LF-walk."""
+    from .index.fm import FmIndex
+    from .utils import dna
+    idx = FmIndex.load(args.base)
+    if args.names:
+        for n in idx.ref_names:
+            print(n)
+        return
+    if args.summary:
+        print(f"Sequence-count\t{idx.n_refs}")
+        for i, n in enumerate(idx.ref_names):
+            print(f"Sequence-{i}\t{n}\t{int(idx.ref_lens[i])}")
+        return
+    for i, name in enumerate(idx.ref_names):
+        s = int(idx.ref_full_start[i])
+        seq = dna.decode(idx.ref_full[s : s + int(idx.ref_lens[i])])
+        print(f">{name}")
+        for j in range(0, len(seq), 60):
+            print(seq[j : j + 60])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="bowtie2_server_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("build")
+    pb.add_argument("ref")
+    pb.add_argument("base")
+    pb.set_defaults(fn=cmd_build)
+
+    pa = sub.add_parser("align")
+    pa.add_argument("-x", dest="index", required=True)
+    pa.add_argument("-U", dest="U", required=True)
+    pa.add_argument("-S", dest="S", default=None)
+    pa.add_argument("--local", action="store_true")
+    pa.add_argument("--cpu", action="store_true")
+    pa.add_argument("--batch", type=int, default=2048)
+    pa.set_defaults(fn=cmd_align)
+
+    pi = sub.add_parser("inspect")
+    pi.add_argument("base")
+    pi.add_argument("-n", dest="names", action="store_true")
+    pi.add_argument("-s", dest="summary", action="store_true")
+    pi.set_defaults(fn=cmd_inspect)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,493 @@
+"""The staged alignment pipeline (ref: bt2_search.cpp:3050
+multiseedSearchWorker, aligner_sw_driver.cpp:756 SwDriver::extendSeeds).
+
+Where the reference advances one read at a time through
+filters -> exact sweep -> 1mm -> seed rounds -> extend, this pipeline
+advances a whole batch through fixed-shape device stages:
+
+  1. encode + filters (host, vectorized)
+  2. exact full-read sweep, both strands           (device FM, ops/fm.py)
+  3. seed rounds: instantiate seeds at the reference's offsets
+     (ref: aligner_seed.cpp:498 instantiateSeeds; offset schedule
+     bt2_search.cpp:3853), exact bidirectional-equivalent search
+     with N=0 mismatches                            (device FM)
+  4. SA resolution: full-SA gather                  (device)
+  5. candidate diagonals: dedup per (read, strand)  (host, numpy)
+  6. banded DP extension of every candidate         (device SW, ops/sw.py)
+  7. per-read best/second-best selection, edits (ungapped fast path or
+     host traceback), MAPQ v2, SAM fields           (host)
+
+Differences from the reference flagged for later parity work: no streak
+early-stopping (we always search every stage — more sensitive, not less),
+no per-read RNG tie-breaking (leftmost-position tie-break instead), and
+no within-seed mismatches (-N 0 only, the default).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.fm import FmIndex
+from ..io.fastq import ReadBatch
+from ..ops import fm as dfm
+from ..ops.sw import NEG_INF, SwConfig, sw_align_batch
+from ..ops.sw_banded import banded_traceback, sw_banded_batch
+
+# Band width: the reference's seed-extension rectangle spans +-2*maxgap
+# (maxgap <= maxhalf=15) around the anchor diagonal (ref: dp_framer.cpp:95-100
+# frameSeedExtensionRect), so +-32 covers its full reach.
+BAND = 64
+from ..utils import dna
+from ..utils.scoring import Scoring
+from ..utils.simple_func import SimpleFunc, SQRT
+from .edits import (cigar_md_stats, edits_from_ungapped, ungapped_score,
+                    traceback as rect_traceback)
+from .mapq import mapq_v2
+
+
+@dataclass(frozen=True)
+class SearchPolicy:
+    """Multiseed parameters (ref: presets.cpp --sensitive defaults)."""
+    seed_len: int = 22
+    interval: SimpleFunc = field(
+        default_factory=lambda: SimpleFunc(type=SQRT, C=1.0, L=1.15))
+    n_seed_rounds: int = 2
+    max_sa_elts: int = 16   # per-seed-range resolution cap (ref: RowSampler role)
+    maxhalf: int = 15       # DP window half-width (ref: --dpad default)
+    khits: int = 1
+
+
+@dataclass
+class AlnRec:
+    """One read's alignment outcome — the SAM-record precursor
+    (ref: aligner_result.h:792 AlnRes)."""
+    name: str
+    aligned: bool
+    filtered: bool = False
+    fw: bool = True
+    ref_id: int = -1
+    pos: int = -1           # 0-based leftmost ref position
+    score: int = NEG_INF
+    secbest: int | None = None
+    mapq: int = 0
+    cigar: str = "*"
+    md: str = ""
+    nm: int = 0
+    xm: int = 0
+    xo: int = 0
+    xg: int = 0
+    xn: int = 0
+    yt: str = "UU"
+    seq: bytes = b""        # aligned-strand sequence (SAM SEQ)
+    qual: bytes = b""
+
+
+def revcomp_batch(seqs, quals, lens):
+    """Vectorized per-row reverse complement respecting lengths."""
+    B, L = seqs.shape
+    j = np.arange(L)[None, :]
+    src = lens[:, None] - 1 - j
+    valid = src >= 0
+    src_c = np.clip(src, 0, L - 1)
+    rc = np.where(valid, dna.COMP[seqs[np.arange(B)[:, None], src_c]], 5)
+    rq = np.where(valid, quals[np.arange(B)[:, None], src_c], 0)
+    return rc.astype(np.uint8), rq.astype(np.int32)
+
+
+class UnpairedAligner:
+    def __init__(self, index: FmIndex, scoring: Scoring | None = None,
+                 policy: SearchPolicy | None = None, engine: str = "auto"):
+        self.idx = index
+        self.sc = scoring or Scoring.default_e2e()
+        self.pol = policy or SearchPolicy()
+        self.engine = engine
+        self.dev = dfm.to_device(index.fw)
+        self.dev_mirror = (dfm.to_device(index.mirror)
+                          if index.mirror is not None else None)
+        # run boundaries in joined space for window clipping
+        self._run_starts = index.run_joined_start
+        self._run_ends = np.append(index.run_joined_start[1:], index.n)
+        self.sw_cfg = SwConfig(
+            ma=self.sc.match_bonus, npen=self.sc.np_pen,
+            rdg_open=self.sc.read_gap_open, rdg_ext=self.sc.read_gap_extend,
+            rfg_open=self.sc.ref_gap_open, rfg_ext=self.sc.ref_gap_extend,
+            gapbar=self.sc.gapbar, local=self.sc.local)
+
+    # ---- seed schedule (ref: bt2_search.cpp:3848-3870, aligner_seed.cpp:498)
+
+    def seed_offsets(self, rdlen: int, roundi: int = 0) -> list[int]:
+        """Seed depths for one reseeding round (ref: bt2_search.cpp:3848-3870:
+        offset = interval*round/nrounds; aligner_seed.cpp:523-529: nseeds =
+        1 + (len-off-L)/interval when len-off > L)."""
+        pol = self.pol
+        interval = max(1, pol.interval.f_int(rdlen))
+        L = pol.seed_len
+        if interval <= roundi:
+            return []
+        off = (interval * roundi) // pol.n_seed_rounds
+        if off > 0 and L + off > rdlen:
+            return []
+        nseeds = 1
+        if rdlen - off > L:
+            nseeds += (rdlen - off - L) // interval
+        return [off + i * interval for i in range(nseeds)]
+
+    # ---- the batch pipeline ----
+
+    def align_batch(self, batch: ReadBatch) -> list[AlnRec]:
+        B, L = batch.seqs.shape
+        lens = batch.lens
+        fw_seqs, fw_quals = batch.seqs, batch.quals
+        rc_seqs, rc_quals = revcomp_batch(fw_seqs, fw_quals, lens)
+        mmtab = self.sc.mm_penalties()
+
+        recs = [AlnRec(name=batch.names[i], aligned=False) for i in range(B)]
+        for i in range(B):
+            recs[i].seq = batch.raw_seq[i]
+            recs[i].qual = batch.raw_qual[i]
+
+        # -- filters (ref: bt2_search.cpp:3323-3352) --
+        n_counts = ((fw_seqs > 3) & (np.arange(L)[None, :] < lens[:, None])).sum(1)
+        nceil = np.array([self.sc.n_ceil_for(int(l)) for l in lens])
+        filtered = (lens == 0) | (n_counts > nceil)
+        # reads where even a perfect alignment can't reach min score
+        minsc = np.array([self.sc.score_min_for(int(l)) for l in lens])
+        perfect = np.array([self.sc.perfect_score(int(l)) for l in lens])
+        filtered |= perfect < minsc
+        for i in np.nonzero(filtered)[0]:
+            recs[i].filtered = True
+
+        active = ~filtered
+        if not active.any():
+            return recs
+
+        # -- candidate generation --
+        # each candidate: (read, fw?, diag) with diag = joined pos where the
+        # (aligned-strand) read starts
+        cand = set()
+        exact_mult = np.zeros(B, np.int64)  # # exact hits (for secbest)
+
+        # exact full-read sweep (ref: aligner_seed.cpp:854 exactSweep)
+        for is_fw, seqs in ((True, fw_seqs), (False, rc_seqs)):
+            top, bot = dfm.backward_search(self.dev, seqs, lens)
+            top, bot = np.asarray(top), np.asarray(bot)
+            count = np.minimum(bot - top, self.pol.max_sa_elts)
+            offs = np.asarray(dfm.sa_resolve(
+                self.dev, top, count, self.pol.max_sa_elts))
+            for i in np.nonzero(active & (bot > top))[0]:
+                exact_mult[i] += int(bot[i] - top[i])
+                for o in offs[i]:
+                    if o >= 0:
+                        cand.add((int(i), is_fw, int(o)))
+
+        # 1-mismatch up-front search (ref: aligner_seed.cpp:973 oneMmSearch,
+        # enabled by default as do1mmUpFront): exactly-one-substitution
+        # end-to-end hits, split at the read middle — mismatches in the left
+        # half search the fw index, right half the mirror index.
+        if self.dev_mirror is not None:
+            n_text = self.idx.n
+            rev = lambda seqs: np.stack([
+                np.concatenate([seqs[i, :lens[i]][::-1],
+                                np.full(L - lens[i], 5, np.uint8)])
+                for i in range(B)]) if B else seqs
+            half = lens // 2
+            for is_fw, seqs in ((True, fw_seqs), (False, rc_seqs)):
+                hi_left = np.where(active, half, 0)
+                r, mmp, top, bot = dfm.one_mm_branch_hits(
+                    self.dev, seqs, lens, np.zeros(B, np.int64), hi_left)
+                if len(r):
+                    cnt = np.minimum(bot - top, self.pol.max_sa_elts)
+                    offs = np.asarray(dfm.sa_resolve(
+                        self.dev, jnp.asarray(top.astype(np.int32)),
+                        jnp.asarray(cnt.astype(np.int32)),
+                        self.pol.max_sa_elts))
+                    for s in range(len(r)):
+                        for o in offs[s]:
+                            if o >= 0:
+                                cand.add((int(r[s]), is_fw, int(o)))
+                hi_right = np.where(active, lens - half, 0)
+                r, mmp, top, bot = dfm.one_mm_branch_hits(
+                    self.dev_mirror, rev(seqs), lens,
+                    np.zeros(B, np.int64), hi_right)
+                if len(r):
+                    cnt = np.minimum(bot - top, self.pol.max_sa_elts)
+                    offs = np.asarray(dfm.sa_resolve(
+                        self.dev_mirror, jnp.asarray(top.astype(np.int32)),
+                        jnp.asarray(cnt.astype(np.int32)),
+                        self.pol.max_sa_elts))
+                    for s in range(len(r)):
+                        rl = int(lens[r[s]])
+                        for o in offs[s]:
+                            if o >= 0:
+                                diag = n_text - int(o) - rl
+                                if diag > -rl:
+                                    cand.add((int(r[s]), is_fw, diag))
+
+        # seed rounds (exact seeds, N=0). Rounds past 0 only run for reads
+        # whose round-0 seeds were highly repetitive (avg hits/seed >= 300)
+        # or missed entirely (ref: bt2_search.cpp:4085-4089 seedBoostThresh,
+        # aligner_seed.h:821 averageHitsPerSeed).
+        Lseed = self.pol.seed_len
+        round_active = active.copy()
+        for roundi in range(self.pol.n_seed_rounds):
+            if not round_active.any():
+                break
+            seed_reads, seed_fw, seed_depth, seed_pat = [], [], [], []
+            inst_count = np.zeros(B, np.int64)
+            for i in np.nonzero(round_active)[0]:
+                rl = int(lens[i])
+                offs = self.seed_offsets(rl, roundi)
+                for is_fw, seqs in ((True, fw_seqs), (False, rc_seqs)):
+                    for off in offs:
+                        sl = min(Lseed, rl)
+                        # rc seeds are the revcomp of the SAME fw-read window
+                        # [off, off+L) (ref: sstring.h:1519 windowGetDna with
+                        # fw=false), i.e. rc-read position rl-off-L
+                        start = off if is_fw else rl - off - sl
+                        pat = np.full(Lseed, 5, np.uint8)
+                        pat[:sl] = seqs[i, start : start + sl]
+                        if (pat[:sl] > 3).any():
+                            # seed contains N: fails to instantiate with the
+                            # default 0-mismatch seed constraint (ref:
+                            # aligner_seed.cpp:583-586 "Seed may fail to
+                            # instantiate if there are Ns")
+                            continue
+                        inst_count[i] += 1
+                        seed_reads.append(i)
+                        seed_fw.append(is_fw)
+                        seed_depth.append(start)
+                        seed_pat.append(pat)
+            # reads with zero instantiated seeds are done entirely (ref:
+            # bt2_search.cpp:3888-3893 "No seed hits! Done with this mate")
+            round_active = round_active & (inst_count > 0)
+            if not seed_pat:
+                break
+            pats = np.stack(seed_pat)
+            seed_reads_a = np.asarray(seed_reads)
+            slens = np.minimum(Lseed, lens[seed_reads_a]).astype(np.int32)
+            top, bot = dfm.backward_search(self.dev, pats, slens)
+            top, bot = np.asarray(top), np.asarray(bot)
+            count = np.minimum(bot - top, self.pol.max_sa_elts)
+            offs = np.asarray(dfm.sa_resolve(
+                self.dev, top, count, self.pol.max_sa_elts))
+            for s in np.nonzero(bot > top)[0]:
+                i, is_fw, d = seed_reads[s], seed_fw[s], seed_depth[s]
+                for o in offs[s]:
+                    # negative diagonals (read overhanging the reference
+                    # start) stay: the rectangle path handles them
+                    if o >= 0 and o - d > -int(lens[i]):
+                        cand.add((int(i), bool(is_fw), int(o - d)))
+            # Next round only for reads whose hits this round were highly
+            # repetitive. Zero hits ends the read (ref: bt2_search.cpp:3909
+            # "No seed alignments! Done with this mate"); otherwise continue
+            # only if avg hits/nonzero-seed >= seedBoostThresh=300 (ref:
+            # bt2_search.cpp:4086).
+            hits = (bot - top).astype(np.int64)
+            nonz = np.bincount(seed_reads_a, weights=(hits > 0), minlength=B)
+            tot = np.bincount(seed_reads_a, weights=hits, minlength=B)
+            boosted = (nonz > 0) & (
+                np.divide(tot, np.maximum(nonz, 1)) >= 300)
+            round_active = round_active & boosted
+
+        if not cand:
+            return recs
+
+        # -- DP extension of all candidates --
+        # Interior candidates go through the banded kernel (ops/sw_banded.py);
+        # candidates whose window would cross a run boundary or the reference
+        # end go through the rectangle kernel with reference-style trimming
+        # (ref: dp_framer.cpp:81 frameSeedExtensionRect: window
+        # [diag-2*maxgap, diag+rdlen-1+2*maxgap], trimmed to the reference
+        # with up to nceil N columns of leeway).
+        cands = sorted(cand)
+        K = BAND
+        c_half = K // 2
+        mg2 = 2 * self.pol.maxhalf
+        joined = self.idx.joined
+
+        band_ids, rect_ids = [], []
+        rect_geom = []  # (wl, wr) trimmed window per rect candidate
+        run_idx = np.searchsorted(
+            self._run_starts,
+            np.maximum([c[2] for c in cands], 0), side="right") - 1
+        run_idx = np.clip(run_idx, 0, max(len(self._run_starts) - 1, 0))
+        for ci, (i, is_fw, diag) in enumerate(cands):
+            rl = int(lens[i])
+            lo = int(self._run_starts[run_idx[ci]])
+            hi = int(self._run_ends[run_idx[ci]])
+            if diag - c_half >= lo and diag - c_half + rl + K <= hi:
+                band_ids.append(ci)
+            else:
+                # hard-trim at run bounds. The reference allows up to nceil
+                # N columns of leeway off the reference ends
+                # (dp_framer.cpp:108-114) but rejects alignments with more
+                # than nceil Ns post-backtrace (aligner_sw.cpp:1813); on
+                # N-free genomes hard trimming reproduces its observable
+                # behavior (overhangs become insertions). TODO: N leeway for
+                # reads spanning short N gaps in N-containing genomes.
+                wl = max(lo, diag - mg2)
+                wr = min(hi, diag + rl + mg2)
+                if wr > wl:
+                    rect_ids.append(ci)
+                    rect_geom.append((wl, wr))
+
+        C = len(cands)
+        best = np.full(C, NEG_INF, np.int64)
+        end_joined = np.full(C, -1, np.int64)
+        fin_info = [None] * C  # data _finish needs per candidate
+
+        def read_arrays(ci):
+            i, is_fw, diag = cands[ci]
+            rl = int(lens[i])
+            seqs = fw_seqs if is_fw else rc_seqs
+            quals = fw_quals if is_fw else rc_quals
+            return (seqs[i, :rl],
+                    mmtab[np.clip(quals[i, :rl], 0, 255)].astype(np.int32), rl)
+
+        if band_ids:
+            nb = len(band_ids)
+            rd_m = np.full((nb, L), 5, np.uint8)
+            mm_m = np.zeros((nb, L), np.int32)
+            band_m = np.full((nb, L + K), 4, np.uint8)
+            clens = np.zeros(nb, np.int32)
+            for bi_, ci in enumerate(band_ids):
+                i, is_fw, diag = cands[ci]
+                rd, mm, rl = read_arrays(ci)
+                rd_m[bi_, :rl] = rd
+                mm_m[bi_, :rl] = mm
+                clens[bi_] = rl
+                ws = diag - c_half
+                band_m[bi_, : rl + K] = joined[ws : ws + rl + K]
+            b_best, b_bi, b_bk = sw_banded_batch(
+                rd_m, clens, mm_m, band_m, self.sw_cfg, K=K,
+                engine=self.engine)
+            for bi_, ci in enumerate(band_ids):
+                i, is_fw, diag = cands[ci]
+                ws = diag - c_half
+                best[ci] = int(b_best[bi_])
+                end_joined[ci] = ws + int(b_bi[bi_]) + int(b_bk[bi_])
+                fin_info[ci] = ("band", int(b_bi[bi_]), int(b_bk[bi_]),
+                                band_m[bi_, : int(lens[i]) + K], ws)
+
+        if rect_ids:
+            nr = len(rect_ids)
+            lq = max(int(lens[cands[ci][0]]) for ci in rect_ids)
+            wmax = max(wr - wl for wl, wr in rect_geom)
+            rd_m = np.full((nr, lq), 5, np.uint8)
+            mm_m = np.zeros((nr, lq), np.int32)
+            ref_m = np.full((nr, wmax), 4, np.uint8)
+            clens = np.zeros(nr, np.int32)
+            wlens = np.zeros(nr, np.int32)
+            for ri, (ci, (wl, wr)) in enumerate(zip(rect_ids, rect_geom)):
+                rd, mm, rl = read_arrays(ci)
+                rd_m[ri, :rl] = rd
+                mm_m[ri, :rl] = mm
+                clens[ri] = rl
+                a, b = max(wl, 0), min(wr, self.idx.n)
+                if b > a:
+                    ref_m[ri, a - wl : b - wl] = joined[a:b]
+                wlens[ri] = wr - wl
+            r_best, r_bi, r_bj = sw_align_batch(
+                rd_m, clens, mm_m, ref_m, wlens, self.sw_cfg,
+                engine=self.engine)
+            for ri, (ci, (wl, wr)) in enumerate(zip(rect_ids, rect_geom)):
+                best[ci] = int(r_best[ri])
+                end_joined[ci] = wl + int(r_bj[ri])
+                fin_info[ci] = ("rect", int(r_bi[ri]), int(r_bj[ri]),
+                                ref_m[ri, : wr - wl], wl)
+
+        # -- per-read selection + reporting --
+        by_read: dict[int, list[int]] = {}
+        for ci, (i, _, _) in enumerate(cands):
+            by_read.setdefault(i, []).append(ci)
+
+        for i, cis in by_read.items():
+            rl = int(lens[i])
+            msc = int(minsc[i])
+            # Redundancy suppression (ref: aligner_sw_driver.h:300 redAnchor,
+            # SwDriver seenDiags): candidates whose DP windows contain the
+            # same optimal alignment share the alignment's END position —
+            # dedup on (strand, joined end position), keeping the best score.
+            by_end: dict[tuple, tuple] = {}
+            for ci in cis:
+                if best[ci] < msc or fin_info[ci] is None:
+                    continue
+                key = (cands[ci][1], int(end_joined[ci]))
+                cur = by_end.get(key)
+                cand_t = (int(best[ci]), ci)
+                if cur is None or cand_t[0] > cur[0]:
+                    by_end[key] = cand_t
+            scored = sorted(
+                by_end.values(),
+                key=lambda t: (-t[0], cands[t[1]][2], not cands[t[1]][1]))
+            for rank, (bsc, bci) in enumerate(scored):
+                sec = None
+                if len(scored) > rank + 1:
+                    sec = scored[rank + 1][0]
+                elif exact_mult[i] > self.pol.max_sa_elts or \
+                        (exact_mult[i] > 1 and len(scored) == rank + 1):
+                    sec = int(perfect[i])  # other exact copies exist
+                rd, mm, _ = read_arrays(bci)
+                _, is_fw, diag = cands[bci]
+                kind, fi, fj, window, wstart = fin_info[bci]
+                if self._finish(recs[i], i, is_fw, rl, bsc, sec, kind, fi,
+                                fj, rd, mm, window, wstart, int(minsc[i]),
+                                int(perfect[i]), int(nceil[i])):
+                    break
+        return recs
+
+    def _finish(self, rec: AlnRec, i, is_fw, rl, bsc, sec, kind, bi, bk,
+                rd, mm, window, wstart, msc, per, nc) -> bool:
+        """bi/bk: DP end cell (band coords for kind='band', rectangle
+        row/col for kind='rect'); window: ref codes starting at joined
+        position wstart. Returns False if the candidate must be rejected
+        (run straddle or N-ceiling), so the caller can try the next one."""
+        cfg = self.sw_cfg
+        read_start, read_end = 0, rl
+        if kind == "band":
+            # fast path: pure-diagonal alignment along band offset bk
+            if not cfg.local and bi == rl - 1 and \
+                    ungapped_score(rd, mm, window, bk, cfg) == bsc:
+                edits = edits_from_ungapped(rd[:rl], window, bk)
+                start_col = bk
+            else:
+                edits, start_col, read_start = banded_traceback(
+                    rd[:rl], mm, window, cfg, bi, bk, K=BAND)
+                read_end = bi + 1
+        else:
+            start_col = bk - (rl - 1)
+            if not cfg.local and start_col >= 0 and \
+                    ungapped_score(rd, mm, window, start_col, cfg) == bsc:
+                edits = edits_from_ungapped(rd[:rl], window, start_col)
+            else:
+                edits, start_col, read_start = rect_traceback(
+                    rd[:rl], mm, window, cfg, bi, bk)
+                read_end = bi + 1
+        stats = cigar_md_stats(rl, edits, read_start, read_end)
+        joined_pos = wstart + start_col
+        xn = int((window[max(0, start_col):start_col + stats["ref_span"]]
+                  > 3).sum())
+        if xn > nc:
+            return False  # too many reference Ns (ref: nCeil / maxns)
+        ref_id, ref_off, valid = self.idx.joined_to_ref(
+            np.array([joined_pos]), aln_len=stats["ref_span"] - xn)
+        if not valid[0]:
+            return False  # straddles an unambiguous-run boundary: reject
+        rec.aligned = True
+        rec.fw = bool(is_fw)
+        rec.ref_id = int(ref_id[0])
+        rec.pos = int(ref_off[0])
+        rec.score = bsc
+        rec.secbest = sec
+        rec.cigar = stats["cigar"]
+        rec.md = stats["md"]
+        rec.nm, rec.xm, rec.xo, rec.xg = (
+            stats["nm"], stats["xm"], stats["xo"], stats["xg"])
+        rec.xn = xn
+        rec.mapq = mapq_v2(bsc, sec, msc, per, self.sc.monotone)
+        if not rec.fw:
+            rec.seq = dna.decode(
+                dna.revcomp(dna.encode(rec.seq))).encode()
+            rec.qual = rec.qual[::-1]

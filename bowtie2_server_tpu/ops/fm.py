@@ -154,3 +154,117 @@ def sa_resolve(fm: DeviceFm, top: jax.Array, count: jax.Array, max_elts: int):
     valid = i < count[:, None]
     offs = fm.sa[jnp.clip(rows, 0, fm.sa.shape[0] - 1)].astype(jnp.int32)
     return jnp.where(valid, offs, -1)
+
+
+def backward_search_record(fm: DeviceFm, patterns, lengths):
+    """Like backward_search, but records the range after every step.
+
+    Returns (tops, bots): [B, L+1] int32 where entry s holds the range after
+    matching the length-s suffix of the pattern (s=0 -> the full row range).
+    Used by the 1-mismatch search to seed substitution branches
+    (ref: aligner_seed.cpp:973 oneMmSearch matches one half exactly first).
+    """
+    patterns = jnp.asarray(patterns)
+    lengths = jnp.asarray(lengths).astype(jnp.int32)
+    B, L = patterns.shape
+    pat = patterns.astype(jnp.int32)
+    idx_last = lengths - 1
+
+    def body(step, carry):
+        top, bot, tops, bots = carry
+        pos = idx_last - step
+        safe = jnp.clip(pos, 0, L - 1)
+        c = pat[jnp.arange(B), safe]
+        cc = jnp.where(pos < 0, 4, c)
+        nt, nb = lf_step(fm, cc, top, bot)
+        active = pos >= 0
+        top = jnp.where(active, nt, top)
+        bot = jnp.where(active, nb, bot)
+        tops = tops.at[:, step + 1].set(top)
+        bots = bots.at[:, step + 1].set(bot)
+        return top, bot, tops, bots
+
+    top0 = jnp.zeros(B, jnp.int32)
+    bot0 = jnp.broadcast_to(fm.n.astype(jnp.int32), (B,))
+    tops = jnp.zeros((B, L + 1), jnp.int32).at[:, 0].set(top0)
+    bots = jnp.zeros((B, L + 1), jnp.int32).at[:, 0].set(bot0)
+    _, _, tops, bots = jax.lax.fori_loop(0, L, body, (top0, bot0, tops, bots))
+    return tops, bots
+
+
+@jax.jit
+def _lf_step_flat(fm: DeviceFm, c, top, bot):
+    return lf_step(fm, c, top, bot)
+
+
+def one_mm_branch_hits(fm: DeviceFm, patterns, lengths, branch_lo, branch_hi,
+                       chunk: int = 1 << 19):
+    """Find occurrences of each pattern with EXACTLY one substitution at a
+    position p in [branch_lo[b], branch_hi[b]) (ref: aligner_seed.cpp:973
+    oneMmSearch — one half matched exactly, then a substitution branch).
+
+    The suffix [p+1:] is matched exactly (one recorded backward pass), then
+    each branch applies one substitution character and continues backward
+    through [0:p). Dead branches are host-compacted every step — they die
+    fast against a random genome, which is what makes this tractable.
+
+    Returns numpy arrays (read_idx, mm_pos, top, bot) of surviving full
+    matches.
+    """
+    patterns = np.asarray(patterns)
+    lengths = np.asarray(lengths, np.int64)
+    B, L = patterns.shape
+    tops, bots = map(np.asarray, backward_search_record(fm, patterns, lengths))
+
+    # substitution branches (b, p, x): x != pat[b, p]
+    bs, ps, xs = [], [], []
+    for b in range(B):
+        lo, hi = int(branch_lo[b]), int(branch_hi[b])
+        l = int(lengths[b])
+        for p in range(max(lo, 0), min(hi, l)):
+            s = l - 1 - p  # suffix length matched before position p
+            if tops[b, s] >= bots[b, s]:
+                continue
+            for x in range(4):
+                if x != patterns[b, p]:
+                    bs.append(b); ps.append(p); xs.append(x)
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.int64), np.zeros(0, np.int64))
+    if not bs:
+        return empty
+    bs = np.asarray(bs); ps = np.asarray(ps); xs = np.asarray(xs)
+
+    hits = [[], [], [], []]
+
+    def emit(cb, cm, top, bot):
+        hits[0].append(cb.copy()); hits[1].append(cm.copy())
+        hits[2].append(top.copy()); hits[3].append(bot.copy())
+
+    for c0 in range(0, len(bs), chunk):
+        cb, cp, cx = bs[c0:c0+chunk], ps[c0:c0+chunk], xs[c0:c0+chunk]
+        s = lengths[cb] - 1 - cp
+        top = tops[cb, s].astype(np.int32)
+        bot = bots[cb, s].astype(np.int32)
+        top, bot = map(np.asarray, _lf_step_flat(
+            fm, jnp.asarray(cx, jnp.int32), jnp.asarray(top), jnp.asarray(bot)))
+        cm = cp.copy()          # the (fixed) mismatch position per branch
+        pos = cp - 1            # next position to match exactly
+        alive = top < bot
+        cb, cm, pos, top, bot = (a[alive] for a in (cb, cm, pos, top, bot))
+        while len(cb):
+            fin = pos < 0
+            if fin.any():
+                emit(cb[fin], cm[fin], top[fin], bot[fin])
+                keep = ~fin
+                cb, cm, pos, top, bot = (a[keep] for a in (cb, cm, pos, top, bot))
+                if not len(cb):
+                    break
+            c = patterns[cb, pos].astype(np.int32)
+            top, bot = map(np.asarray, _lf_step_flat(
+                fm, jnp.asarray(c), jnp.asarray(top), jnp.asarray(bot)))
+            alive = top < bot
+            pos = pos - 1
+            cb, cm, pos, top, bot = (a[alive] for a in (cb, cm, pos, top, bot))
+    if not hits[0]:
+        return empty
+    return tuple(np.concatenate(h) for h in hits)

@@ -36,10 +36,11 @@ class SimpleFunc:
         return max(self.I, min(self.X, v))
 
     def f_int(self, x: float) -> int:
-        """Integer evaluation with the reference's round-half-away behavior
-        (ref: simple_func.h:101-107: adds 0.5 toward the value's sign)."""
-        v = self.f(x)
-        return int(v + 0.5) if v >= 0 else int(v - 0.5)
+        """Integer evaluation with the reference's C-cast semantics:
+        truncation toward zero (ref: simple_func.h:88-111 `return (T)ret` —
+        NO rounding; e.g. interval(55) = (int)9.53 = 9, score_min(55) =
+        (int)-33.6 = -33)."""
+        return int(self.f(x))
 
     @staticmethod
     def parse(s: str) -> "SimpleFunc":
