@@ -1,0 +1,99 @@
+"""Benchmark driver: end-to-end unpaired alignment throughput on one chip.
+
+Workload: synthetic 4 Mbp genome (E. coli scale), 100 bp reads with 0-3
+mutations, 50% reverse-complemented — the shape of BASELINE.json config 3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference bowtie2-server fork (server+client pair, 2 worker
+threads) measured on this machine's 2-core CPU host at 31,056 reads/s for
+the same workload (100k reads / 3.22 s, 2026-08-17). vs_baseline is
+ours/reference on a per-chip vs 2-core-CPU basis.
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REFERENCE_CPU_READS_PER_S = 31056.0  # measured, see module docstring
+N_READS = 30_000
+READ_LEN = 100
+GENOME_LEN = 4_000_000
+BATCH = 8192
+
+
+def make_workload(tmp: Path):
+    rng = np.random.default_rng(42)
+    g = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    fa = tmp / "bench_genome.fa"
+    if not fa.exists():
+        with open(fa, "w") as f:
+            f.write(">benchref\n")
+            s = bases[g].tobytes().decode()
+            for i in range(0, len(s), 70):
+                f.write(s[i : i + 70] + "\n")
+    starts = rng.integers(0, GENOME_LEN - READ_LEN, N_READS)
+    names, seqs, quals = [], [], []
+    for i, st in enumerate(starts):
+        rd = g[st : st + READ_LEN].copy()
+        for _ in range(rng.integers(0, 4)):
+            rd[rng.integers(0, READ_LEN)] = rng.integers(0, 4)
+        if rng.random() < 0.5:
+            rd = (3 - rd)[::-1]
+        names.append(f"b{i}")
+        seqs.append(bases[rd].tobytes())
+        quals.append(b"I" * READ_LEN)
+    return fa, names, seqs, quals
+
+
+def main():
+    tmp = Path("tmp")
+    tmp.mkdir(exist_ok=True)
+    fa, names, seqs, quals = make_workload(tmp)
+
+    from bowtie2_server_tpu.align.pipeline import UnpairedAligner
+    from bowtie2_server_tpu.index.build import build_index
+    from bowtie2_server_tpu.index.fm import FmIndex
+    from bowtie2_server_tpu.io.fastq import make_batch
+
+    idx_base = tmp / "bench_genome_idx"
+    if (Path(str(idx_base) + ".fm.npz")).exists():
+        idx = FmIndex.load(idx_base)
+    else:
+        idx = build_index(fa)
+        idx.save(idx_base)
+    al = UnpairedAligner(idx)
+
+    batches = [
+        make_batch(names[i : i + BATCH], seqs[i : i + BATCH],
+                   quals[i : i + BATCH])
+        for i in range(0, N_READS, BATCH)
+    ]
+    # warmup/compile on the first batch
+    recs = al.align_batch(batches[0])
+    n_aligned = sum(r.aligned for r in recs)
+    t0 = time.time()
+    n = len(batches[0])
+    for b in batches[1:]:
+        recs = al.align_batch(b)
+        n_aligned += sum(r.aligned for r in recs)
+        n += len(b)
+    dt = time.time() - t0
+    reads_per_s = (n - len(batches[0])) / dt
+    out = {
+        "metric": "unpaired_align_reads_per_s_per_chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / REFERENCE_CPU_READS_PER_S, 4),
+    }
+    print(json.dumps(out))
+    print(f"# aligned {n_aligned}/{n} reads; warm batches {len(batches)-1}, "
+          f"{dt:.1f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

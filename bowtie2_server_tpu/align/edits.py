@@ -135,13 +135,13 @@ def traceback(rd, mmpen, window, cfg: SwConfig, end_i, end_j):
 def cigar_md_stats(rdlen, edits, read_start=0, read_end=None):
     """Build CIGAR string, MD:Z value, and tag stats from an edit list.
 
-    read_end: exclusive end of aligned read region (for local soft clips).
-    Returns dict with cigar, md, nm, xm, xo, xg, ref_span.
+    Sparse event walk (O(#edits), not O(rdlen) — edit lists are tiny for
+    real reads). read_end: exclusive end of aligned read region (for local
+    soft clips). Returns dict with cigar, md, nm, xm, xo, xg, ref_span.
     """
     if read_end is None:
         read_end = rdlen
-    # Build op runs walking read positions and edits
-    ops = []  # list of [op_char, length]
+    ops = []  # [op_char, length] runs
 
     def push(op, n=1):
         if n <= 0:
@@ -153,50 +153,59 @@ def cigar_md_stats(rdlen, edits, read_start=0, read_end=None):
 
     if read_start > 0:
         push("S", read_start)
-    by_pos = {}
-    for ed in edits:
-        by_pos.setdefault(ed[1], []).append(ed)
-    # deletions keyed by read pos appear BEFORE that read pos is consumed
+    # event order at one read position: D (before consuming the char),
+    # then I/M (consume it)
+    order = {"D": 0, "I": 1, "M": 2}
+    events = sorted(edits, key=lambda e: (e[1], order[e[0]]))
     i = read_start
     nm = xm = xo = xg = 0
     md = []
-    run = 0  # matched bases since last md event
-    # handle deletions that occur before first read base? (cannot in e2e)
-    while i < read_end:
-        eds = by_pos.get(i, [])
-        dels = [e for e in eds if e[0] == "D"]
-        ins = [e for e in eds if e[0] == "I"]
-        mms = [e for e in eds if e[0] == "M"]
-        # Deletions stored at the read position after which ref chars were
-        # skipped: emit now (before consuming read char i)
-        if dels:
-            push("D", len(dels))
-            nm += len(dels)
-            xg += len(dels)
+    run = 0
+    k = 0
+    n_ev = len(events)
+    while k < n_ev:
+        e = events[k]
+        pos = e[1]
+        if pos > i:  # matching stretch up to the event
+            push("M", pos - i)
+            run += pos - i
+            i = pos
+        if e[0] == "D":
+            # collect the whole deletion group at this position
+            chars = []
+            while k < n_ev and events[k][0] == "D" and events[k][1] == pos:
+                chars.append("ACGTN"[min(events[k][2], 4)])
+                k += 1
+            push("D", len(chars))
+            nm += len(chars)
+            xg += len(chars)
             xo += 1
             md.append(str(run)); run = 0
-            md.append("^" + "".join("ACGTN"[min(e[2], 4)] for e in dels))
-        if ins:
-            push("I", len(ins))
-            nm += len(ins)
-            xg += len(ins)
-            xo += 1
-            i += len(ins)
-            continue
-        push("M", 1)
-        if mms:
+            md.append("^" + "".join(chars))
+        elif e[0] == "I":
+            new_open = not (ops and ops[-1][0] == "I")
+            push("I", 1)
+            nm += 1
+            xg += 1
+            if new_open:
+                xo += 1
+            i += 1
+            k += 1
+        else:  # mismatch
+            push("M", 1)
             nm += 1
             xm += 1
             md.append(str(run)); run = 0
-            md.append("ACGTN"[min(mms[0][2], 4)])
-        else:
-            run += 1
-        i += 1
+            md.append("ACGTN"[min(e[2], 4)])
+            i += 1
+            k += 1
+    if read_end > i:
+        push("M", read_end - i)
+        run += read_end - i
     md.append(str(run))
     if read_end < rdlen:
         push("S", rdlen - read_end)
     cigar = "".join(f"{n}{op}" for op, n in ops)
-    # MD string: counts between events; consecutive events need 0 separators
     mdstr = "".join(md)
     ref_span = sum(n for op, n in ops if op in ("M", "D"))
     return dict(cigar=cigar, md=mdstr, nm=nm, xm=xm, xo=xo, xg=xg,

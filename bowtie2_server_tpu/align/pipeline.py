@@ -169,61 +169,73 @@ class UnpairedAligner:
         cand = set()
         exact_mult = np.zeros(B, np.int64)  # # exact hits (for secbest)
 
-        # exact full-read sweep (ref: aligner_seed.cpp:854 exactSweep)
-        for is_fw, seqs in ((True, fw_seqs), (False, rc_seqs)):
-            top, bot = dfm.backward_search(self.dev, seqs, lens)
-            top, bot = np.asarray(top), np.asarray(bot)
-            count = np.minimum(bot - top, self.pol.max_sa_elts)
-            offs = np.asarray(dfm.sa_resolve(
-                self.dev, top, count, self.pol.max_sa_elts))
-            for i in np.nonzero(active & (bot > top))[0]:
-                exact_mult[i] += int(bot[i] - top[i])
-                for o in offs[i]:
-                    if o >= 0:
-                        cand.add((int(i), is_fw, int(o)))
+        # exact full-read sweep + 1-mismatch up-front, fused (ref:
+        # aligner_seed.cpp:854 exactSweep, :973 oneMmSearch with
+        # do1mmUpFront on by default). The exact ranges fall out of the 1mm
+        # search's recorded backward pass for free. Mismatches in the left
+        # half search the fw index; right half the mirror index over the
+        # reversed patterns.
+        both2 = np.concatenate([fw_seqs, rc_seqs])
+        lens2 = np.concatenate([lens, lens])
+        act2 = np.concatenate([active, active])
+        half2 = lens2 // 2
 
-        # 1-mismatch up-front search (ref: aligner_seed.cpp:973 oneMmSearch,
-        # enabled by default as do1mmUpFront): exactly-one-substitution
-        # end-to-end hits, split at the read middle — mismatches in the left
-        # half search the fw index, right half the mirror index.
+        def add_fw_hits(r, top, bot):
+            if not len(r):
+                return
+            cnt = np.minimum(bot - top, self.pol.max_sa_elts)
+            offs = dfm.sa_resolve(self.dev, top, cnt, self.pol.max_sa_elts)
+            for s in range(len(r)):
+                i, is_fw = (int(r[s]), True) if r[s] < B else \
+                    (int(r[s]) - B, False)
+                for o in offs[s]:
+                    if o >= 0:
+                        cand.add((i, is_fw, int(o)))
+
+        if self.dev_mirror is not None:
+            hits, exact = dfm.one_mm_branch_hits(
+                self.dev, both2, lens2, np.zeros(2 * B, np.int64),
+                np.where(act2, half2, 0), want_exact=True)
+            etop, ebot = exact
+        else:
+            hits = (np.zeros(0, np.int64),) * 4
+            etop, ebot = dfm.backward_search(self.dev, both2, lens2)
+
+        # exact hits
+        er = np.nonzero(act2 & (ebot > etop))[0]
+        for s in er:
+            i = int(s) if s < B else int(s) - B
+            exact_mult[i] += int(ebot[s] - etop[s])
+        add_fw_hits(er, etop[er], ebot[er])
+        # 1mm left-half hits
+        add_fw_hits(hits[0], hits[2], hits[3])
+
         if self.dev_mirror is not None:
             n_text = self.idx.n
-            rev = lambda seqs: np.stack([
-                np.concatenate([seqs[i, :lens[i]][::-1],
-                                np.full(L - lens[i], 5, np.uint8)])
-                for i in range(B)]) if B else seqs
-            half = lens // 2
-            for is_fw, seqs in ((True, fw_seqs), (False, rc_seqs)):
-                hi_left = np.where(active, half, 0)
-                r, mmp, top, bot = dfm.one_mm_branch_hits(
-                    self.dev, seqs, lens, np.zeros(B, np.int64), hi_left)
-                if len(r):
-                    cnt = np.minimum(bot - top, self.pol.max_sa_elts)
-                    offs = np.asarray(dfm.sa_resolve(
-                        self.dev, jnp.asarray(top.astype(np.int32)),
-                        jnp.asarray(cnt.astype(np.int32)),
-                        self.pol.max_sa_elts))
-                    for s in range(len(r)):
-                        for o in offs[s]:
-                            if o >= 0:
-                                cand.add((int(r[s]), is_fw, int(o)))
-                hi_right = np.where(active, lens - half, 0)
-                r, mmp, top, bot = dfm.one_mm_branch_hits(
-                    self.dev_mirror, rev(seqs), lens,
-                    np.zeros(B, np.int64), hi_right)
-                if len(r):
-                    cnt = np.minimum(bot - top, self.pol.max_sa_elts)
-                    offs = np.asarray(dfm.sa_resolve(
-                        self.dev_mirror, jnp.asarray(top.astype(np.int32)),
-                        jnp.asarray(cnt.astype(np.int32)),
-                        self.pol.max_sa_elts))
-                    for s in range(len(r)):
-                        rl = int(lens[r[s]])
-                        for o in offs[s]:
-                            if o >= 0:
-                                diag = n_text - int(o) - rl
-                                if diag > -rl:
-                                    cand.add((int(r[s]), is_fw, diag))
+            j = np.arange(L)[None, :]
+            src = lens[:, None] - 1 - j
+            valid_r = src >= 0
+            src_c = np.clip(src, 0, L - 1)
+            bidx = np.arange(B)[:, None]
+            rev2 = np.concatenate([
+                np.where(valid_r, fw_seqs[bidx, src_c], 5).astype(np.uint8),
+                np.where(valid_r, rc_seqs[bidx, src_c], 5).astype(np.uint8)])
+            r, mmp, top, bot = dfm.one_mm_branch_hits(
+                self.dev_mirror, rev2, lens2, np.zeros(2 * B, np.int64),
+                np.where(act2, lens2 - half2, 0))
+            if len(r):
+                cnt = np.minimum(bot - top, self.pol.max_sa_elts)
+                offs = dfm.sa_resolve(
+                    self.dev_mirror, top, cnt, self.pol.max_sa_elts)
+                for s in range(len(r)):
+                    i, is_fw = (int(r[s]), True) if r[s] < B else \
+                        (int(r[s]) - B, False)
+                    rl = int(lens[i])
+                    for o in offs[s]:
+                        if o >= 0:
+                            diag = n_text - int(o) - rl
+                            if diag > -rl:
+                                cand.add((i, is_fw, diag))
 
         # seed rounds (exact seeds, N=0). Rounds past 0 only run for reads
         # whose round-0 seeds were highly repetitive (avg hits/seed >= 300)
@@ -234,51 +246,59 @@ class UnpairedAligner:
         for roundi in range(self.pol.n_seed_rounds):
             if not round_active.any():
                 break
-            seed_reads, seed_fw, seed_depth, seed_pat = [], [], [], []
+            # Vectorized seed instantiation, grouped by read length. rc
+            # seeds are the revcomp of the SAME fw-read window [off, off+L)
+            # (ref: sstring.h:1519 windowGetDna with fw=false), i.e. rc-read
+            # position rl-off-L. Seeds containing N fail to instantiate
+            # (ref: aligner_seed.cpp:583-586).
+            sr_parts, sf_parts, sd_parts, sp_parts = [], [], [], []
             inst_count = np.zeros(B, np.int64)
-            for i in np.nonzero(round_active)[0]:
-                rl = int(lens[i])
+            for rl_val in np.unique(lens[round_active]):
+                rl = int(rl_val)
+                grp = np.nonzero(round_active & (lens == rl_val))[0]
                 offs = self.seed_offsets(rl, roundi)
+                sl = min(Lseed, rl)
                 for is_fw, seqs in ((True, fw_seqs), (False, rc_seqs)):
                     for off in offs:
-                        sl = min(Lseed, rl)
-                        # rc seeds are the revcomp of the SAME fw-read window
-                        # [off, off+L) (ref: sstring.h:1519 windowGetDna with
-                        # fw=false), i.e. rc-read position rl-off-L
                         start = off if is_fw else rl - off - sl
-                        pat = np.full(Lseed, 5, np.uint8)
-                        pat[:sl] = seqs[i, start : start + sl]
-                        if (pat[:sl] > 3).any():
-                            # seed contains N: fails to instantiate with the
-                            # default 0-mismatch seed constraint (ref:
-                            # aligner_seed.cpp:583-586 "Seed may fail to
-                            # instantiate if there are Ns")
+                        block = seqs[grp, start : start + sl]
+                        ok = ~(block > 3).any(axis=1)
+                        g2 = grp[ok]
+                        if not len(g2):
                             continue
-                        inst_count[i] += 1
-                        seed_reads.append(i)
-                        seed_fw.append(is_fw)
-                        seed_depth.append(start)
-                        seed_pat.append(pat)
+                        np.add.at(inst_count, g2, 1)
+                        pats = np.full((len(g2), Lseed), 5, np.uint8)
+                        pats[:, :sl] = block[ok]
+                        sr_parts.append(g2)
+                        sf_parts.append(np.full(len(g2), is_fw, bool))
+                        sd_parts.append(np.full(len(g2), start, np.int32))
+                        sp_parts.append(pats)
             # reads with zero instantiated seeds are done entirely (ref:
             # bt2_search.cpp:3888-3893 "No seed hits! Done with this mate")
             round_active = round_active & (inst_count > 0)
-            if not seed_pat:
+            if not sr_parts:
                 break
-            pats = np.stack(seed_pat)
-            seed_reads_a = np.asarray(seed_reads)
+            seed_reads = np.concatenate(sr_parts)
+            seed_fw = np.concatenate(sf_parts)
+            seed_depth = np.concatenate(sd_parts)
+            seed_pat = np.concatenate(sp_parts)
+            seed_reads_a = seed_reads
             slens = np.minimum(Lseed, lens[seed_reads_a]).astype(np.int32)
-            top, bot = dfm.backward_search(self.dev, pats, slens)
-            top, bot = np.asarray(top), np.asarray(bot)
+            top, bot = dfm.backward_search(self.dev, seed_pat, slens)
             count = np.minimum(bot - top, self.pol.max_sa_elts)
-            offs = np.asarray(dfm.sa_resolve(
-                self.dev, top, count, self.pol.max_sa_elts))
-            for s in np.nonzero(bot > top)[0]:
-                i, is_fw, d = seed_reads[s], seed_fw[s], seed_depth[s]
-                for o in offs[s]:
-                    # negative diagonals (read overhanging the reference
-                    # start) stay: the rectangle path handles them
-                    if o >= 0 and o - d > -int(lens[i]):
-                        cand.add((int(i), bool(is_fw), int(o - d)))
+            offs = dfm.sa_resolve(self.dev, top, count, self.pol.max_sa_elts)
+            # vectorized candidate extraction: diag = off - depth; negative
+            # diagonals (read overhanging the ref start) stay for the
+            # rectangle path
+            ok = offs >= 0
+            s_idx, e_idx = np.nonzero(ok)
+            o_flat = offs[s_idx, e_idx]
+            d_flat = seed_depth[s_idx]
+            diag_flat = o_flat - d_flat
+            keep = diag_flat > -lens[seed_reads_a[s_idx]]
+            cand.update(zip(seed_reads_a[s_idx[keep]].tolist(),
+                            seed_fw[s_idx[keep]].tolist(),
+                            diag_flat[keep].tolist()))
             # Next round only for reads whose hits this round were highly
             # repetitive. Zero hits ends the read (ref: bt2_search.cpp:3909
             # "No seed alignments! Done with this mate"); otherwise continue
@@ -375,6 +395,9 @@ class UnpairedAligner:
             nr = len(rect_ids)
             lq = max(int(lens[cands[ci][0]]) for ci in rect_ids)
             wmax = max(wr - wl for wl, wr in rect_geom)
+            # bucket shapes (bounded compile count on TPU)
+            lq = -(-lq // 64) * 64
+            wmax = -(-wmax // 128) * 128
             rd_m = np.full((nr, lq), 5, np.uint8)
             mm_m = np.zeros((nr, lq), np.int32)
             ref_m = np.full((nr, wmax), 4, np.uint8)

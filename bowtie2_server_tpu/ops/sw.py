@@ -238,6 +238,12 @@ def _sw_kernel(cfg: SwConfig, lq_pad: int, lc: int,
     bj_ref[0, :] = bj
 
 
+@functools.lru_cache(maxsize=64)
+def _sw_xla_jit(cfg: SwConfig):
+    return jax.jit(functools.partial(_sw_tile_xla, cfg))
+
+
+@functools.lru_cache(maxsize=64)
 def _pallas_engine(cfg: SwConfig, lq_pad: int, lc: int, n_tiles: int,
                    interpret: bool):
     kernel = functools.partial(_sw_kernel, cfg, lq_pad, lc)
@@ -284,8 +290,9 @@ def sw_align_batch(rd, lens, mmpen, ref, reflens, cfg: SwConfig,
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    # pad batch to a LANES multiple and transpose to [Lq, B] tiles
-    Bp = -(-B // LANES) * LANES
+    # power-of-two tile count (shape bucketing; see ops/fm.py _pow2_pad)
+    n_tiles_p = max(1, 1 << max(0, int(-(-B // LANES) - 1).bit_length()))
+    Bp = n_tiles_p * LANES
     pad_b = Bp - B
 
     def prep(x, pad_val, width):
@@ -308,7 +315,7 @@ def sw_align_batch(rd, lens, mmpen, ref, reflens, cfg: SwConfig,
     reflens_p = prep(np.asarray(reflens, np.int32), 0, 0)
 
     if engine == "xla":
-        f = jax.jit(functools.partial(_sw_tile_xla, cfg))
+        f = _sw_xla_jit(cfg)
         best, bi, bj = f(jnp.asarray(rd_t), jnp.asarray(mm_t),
                          jnp.asarray(lens_p), jnp.asarray(ref_t),
                          jnp.asarray(reflens_p))

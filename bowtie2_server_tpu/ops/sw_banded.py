@@ -265,6 +265,11 @@ def _banded_kernel(cfg: SwConfig, K: int, lq: int,
 
 
 @functools.lru_cache(maxsize=64)
+def _banded_xla_jit(cfg: SwConfig, K: int):
+    return jax.jit(functools.partial(_banded_tile_xla, cfg, K))
+
+
+@functools.lru_cache(maxsize=64)
 def _pallas_banded(cfg: SwConfig, K: int, lq: int, n_tiles: int,
                    interpret: bool):
     kernel = functools.partial(_banded_kernel, cfg, K, lq)
@@ -292,7 +297,9 @@ def sw_banded_batch(rd, lens, mmpen, band, cfg: SwConfig,
     assert band.shape[1] == lq + K
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
-    Bp = -(-B // LANES) * LANES
+    # power-of-two tile count: bounds the set of compiled shapes
+    n_tiles = max(1, 1 << max(0, int(-(-B // LANES) - 1).bit_length()))
+    Bp = n_tiles * LANES
 
     rd_t = np.full((lq, Bp), 5, np.int32)
     rd_t[:, :B] = np.asarray(rd, np.int32).T
@@ -304,12 +311,11 @@ def sw_banded_batch(rd, lens, mmpen, band, cfg: SwConfig,
     lens_t[:B] = np.asarray(lens, np.int32)
 
     if engine == "xla":
-        f = jax.jit(functools.partial(_banded_tile_xla, cfg, K))
+        f = _banded_xla_jit(cfg, K)
         best, bi, bk = f(jnp.asarray(rd_t), jnp.asarray(mm_t),
                          jnp.asarray(lens_t), jnp.asarray(band_t))
         return np.asarray(best)[:B], np.asarray(bi)[:B], np.asarray(bk)[:B]
 
-    n_tiles = Bp // LANES
     call = _pallas_banded(cfg, K, lq, n_tiles,
                           jax.default_backend() != "tpu")
     best, bi, bk = call(jnp.asarray(rd_t), jnp.asarray(mm_t),
