@@ -38,9 +38,10 @@ def cmd_align(args):
     from .io.sam import sam_header, sam_record
     from .utils.scoring import Scoring
 
+    from .utils.presets import preset_params
     idx = FmIndex.load(args.index)
-    sc = Scoring.default_local() if args.local else Scoring.default_e2e()
-    al = UnpairedAligner(idx, scoring=sc)
+    sc, polkw = preset_params(args.preset, args.local)
+    al = UnpairedAligner(idx, scoring=sc, policy=SearchPolicy(**polkw))
     out = open(args.S, "w") if args.S else sys.stdout
     out.write(sam_header(idx.ref_names, idx.ref_lens,
                          " ".join(sys.argv)))
@@ -97,6 +98,8 @@ def main(argv=None):
     pa.add_argument("-U", dest="U", required=True)
     pa.add_argument("-S", dest="S", default=None)
     pa.add_argument("--local", action="store_true")
+    pa.add_argument("--preset", default=None,
+                    help="very-fast|fast|sensitive|very-sensitive[-local]")
     pa.add_argument("--cpu", action="store_true")
     pa.add_argument("--batch", type=int, default=2048)
     pa.set_defaults(fn=cmd_align)

@@ -47,6 +47,8 @@ def _fill_matrices(rd, mmpen, window, cfg: SwConfig):
     E = np.full((lq + 1, lc + 1), NEG_INF, np.int64)
     F = np.full((lq + 1, lc + 1), NEG_INF, np.int64)
     H[0, :] = 0
+    if cfg.local:
+        H[:, 0] = 0  # local alignments may start at any row at column 0
     rows = np.arange(lq)
     gap_ok = (rows >= cfg.gapbar) & (rows < lq - cfg.gapbar)
     rd_i = rd.astype(np.int64)

@@ -514,3 +514,4 @@ class UnpairedAligner:
             rec.seq = dna.decode(
                 dna.revcomp(dna.encode(rec.seq))).encode()
             rec.qual = rec.qual[::-1]
+        return True

@@ -69,6 +69,8 @@ def sw_score_numpy(rd, mmpen, ref, cfg: SwConfig):
     E = np.full((lq + 1, lc + 1), NEG_INF, dtype=np.int64)  # read gap (horiz)
     F = np.full((lq + 1, lc + 1), NEG_INF, dtype=np.int64)  # ref gap (vert)
     H[0, :] = 0  # alignment may start before any column (row -1)
+    if cfg.local:
+        H[:, 0] = 0  # local alignments may also start at any row at col 0
     best, bi, bj = NEG_INF, -1, -1
     for j in range(1, lc + 1):
         for i in range(1, lq + 1):
@@ -91,7 +93,7 @@ def sw_score_numpy(rd, mmpen, ref, cfg: SwConfig):
             H[i, j] = h
         if cfg.local:
             for i in range(1, lq + 1):
-                if H[i, j] > best:
+                if H[i, j] >= best:  # ties: prefer later column & larger row
                     best, bi, bj = H[i, j], i - 1, j - 1
         else:
             if H[lq, j] > best:
@@ -154,9 +156,14 @@ def _column_update(cfg: SwConfig, lq_pad: int, rd, mmpen, gap_ok, last_mask,
     scored = jnp.where(last_mask, h, neg)
     col_best = jnp.max(scored, axis=0)
     rows = jax.lax.broadcasted_iota(jnp.int32, scored.shape, 0)
-    col_arg = jnp.min(
-        jnp.where(scored == col_best[None, :], rows, jnp.int32(1 << 30)),
-        axis=0)
+    if cfg.local:  # ties: larger row = longer alignment
+        col_arg = jnp.max(
+            jnp.where(scored == col_best[None, :], rows, jnp.int32(-1)),
+            axis=0)
+    else:
+        col_arg = jnp.min(
+            jnp.where(scored == col_best[None, :], rows, jnp.int32(1 << 30)),
+            axis=0)
     return h, e, col_best, col_arg
 
 
@@ -181,7 +188,9 @@ def _sw_tile_xla(cfg: SwConfig, rd, mmpen, lens, ref, reflens):
     lc = ref.shape[0]
     gap_ok, last_mask = _make_masks(cfg, lens, lq_pad)
     neg = jnp.int32(NEG_INF)
-    init = (jnp.full((lq_pad, p), neg, jnp.int32),
+    h0 = jnp.zeros((lq_pad, p), jnp.int32) if cfg.local else \
+        jnp.full((lq_pad, p), neg, jnp.int32)
+    init = (h0,
             jnp.full((lq_pad, p), neg, jnp.int32),
             jnp.full((p,), neg, jnp.int32),
             jnp.full((p,), -1, jnp.int32),
@@ -193,7 +202,8 @@ def _sw_tile_xla(cfg: SwConfig, rd, mmpen, lens, ref, reflens):
         h, e, col_best, col_arg = _column_update(
             cfg, lq_pad, rd, mmpen, gap_ok, last_mask, h_prev, e_prev,
             rcol[None, :])
-        ok = (j < reflens) & (col_best > best)
+        ok = (j < reflens) & (
+            (col_best >= best) if cfg.local else (col_best > best))
         best = jnp.where(ok, col_best, best)
         bi = jnp.where(ok, col_arg, bi)
         bj = jnp.where(ok, j, bj)
@@ -221,13 +231,16 @@ def _sw_kernel(cfg: SwConfig, lq_pad: int, lc: int,
         rcol = ref_ref[j, :].astype(jnp.int32)[None, :]
         h, e, col_best, col_arg = _column_update(
             cfg, lq_pad, rd, mmpen, gap_ok, last_mask, h_prev, e_prev, rcol)
-        ok = (j < reflens) & (col_best > best)
+        ok = (j < reflens) & (
+            (col_best >= best) if cfg.local else (col_best > best))
         best = jnp.where(ok, col_best, best)
         bi = jnp.where(ok, col_arg, bi)
         bj = jnp.where(ok, j, bj)
         return h, e, best, bi, bj
 
-    init = (jnp.full((lq_pad, p), neg, jnp.int32),
+    h0 = jnp.zeros((lq_pad, p), jnp.int32) if cfg.local else \
+        jnp.full((lq_pad, p), neg, jnp.int32)
+    init = (h0,
             jnp.full((lq_pad, p), neg, jnp.int32),
             jnp.full((p,), neg, jnp.int32),
             jnp.full((p,), -1, jnp.int32),

@@ -86,8 +86,11 @@ def banded_best_numpy(rd, mmpen, band, cfg, K=DEFAULT_BAND):
     H, _, _ = banded_fill_numpy(rd, mmpen, band, cfg, K)
     lq = len(rd)
     if cfg.local:
-        flat = int(np.argmax(H))
-        return int(H.flat[flat]), flat // K, flat % K
+        # ties: prefer the LAST maximal cell (longer alignment), matching
+        # the reference's observed choice
+        m = int(H.max())
+        rows, ks = np.nonzero(H == m)
+        return m, int(rows[-1]), int(ks[-1])
     row = H[lq - 1]
     k = int(np.argmax(row))
     return int(row[k]), lq - 1, k
@@ -148,7 +151,7 @@ def banded_traceback(rd, mmpen, band, cfg, end_i, end_k, K=DEFAULT_BAND):
             if not prev_ext:
                 state = "H"
     edits.reverse()
-    # после loop: (i, k) is the first aligned cell (diagonal consume at i)
+    # after the loop: (i, k) is the first aligned cell
     return edits, i + k, i
 
 
@@ -202,10 +205,15 @@ def _banded_tile_xla(cfg: SwConfig, K: int, rd, mmpen, lens, band):
         else:
             scored = jnp.where(i == lens[None, :] - 1, h, neg)
         col_best = jnp.max(scored, axis=0)
-        col_arg = jnp.min(
-            jnp.where(scored == col_best[None, :], ks, jnp.int32(1 << 30)),
-            axis=0)
-        ok = col_best > best
+        if cfg.local:  # ties: larger k = longer alignment end
+            col_arg = jnp.max(
+                jnp.where(scored == col_best[None, :], ks, jnp.int32(-1)),
+                axis=0)
+        else:
+            col_arg = jnp.min(
+                jnp.where(scored == col_best[None, :], ks,
+                          jnp.int32(1 << 30)), axis=0)
+        ok = (col_best >= best) if cfg.local else (col_best > best)
         best = jnp.where(ok, col_best, best)
         bi = jnp.where(ok, i, bi)
         bk = jnp.where(ok, col_arg, bk)
@@ -244,10 +252,15 @@ def _banded_kernel(cfg: SwConfig, K: int, lq: int,
         else:
             scored = jnp.where(i == lens[None, :] - 1, h, neg)
         col_best = jnp.max(scored, axis=0)
-        col_arg = jnp.min(
-            jnp.where(scored == col_best[None, :], ks, jnp.int32(1 << 30)),
-            axis=0)
-        ok = col_best > best
+        if cfg.local:  # ties: larger k = longer alignment end
+            col_arg = jnp.max(
+                jnp.where(scored == col_best[None, :], ks, jnp.int32(-1)),
+                axis=0)
+        else:
+            col_arg = jnp.min(
+                jnp.where(scored == col_best[None, :], ks,
+                          jnp.int32(1 << 30)), axis=0)
+        ok = (col_best >= best) if cfg.local else (col_best > best)
         best = jnp.where(ok, col_best, best)
         bi = jnp.where(ok, i, bi)
         bk = jnp.where(ok, col_arg, bk)

@@ -57,3 +57,35 @@ def test_lambda_e2e_parity(aligner):
     # aligned/unaligned split must match exactly
     for k in golden:
         assert (golden[k]["flag"] == 4) == (mine[k]["flag"] == 4), k
+
+
+def test_lambda_local_parity(aligner):
+    """Local-mode (--local) parity on the same reads."""
+    from bowtie2_server_tpu.align.pipeline import SearchPolicy, UnpairedAligner
+    from bowtie2_server_tpu.io.fastq import iter_fastq
+    from bowtie2_server_tpu.io.sam import sam_record
+    from bowtie2_server_tpu.utils.presets import preset_params
+    _, idx = aligner
+    sc, polkw = preset_params(None, True)
+    al = UnpairedAligner(idx, scoring=sc, policy=SearchPolicy(**polkw),
+                         engine="xla")
+    golden = {}
+    for line in (DATA / "golden_longreads_local_300.sam").read_text().splitlines():
+        f = line.split("\t")
+        tags = {t.split(":")[0]: t.split(":", 2)[2] for t in f[11:]}
+        golden[f[0].split("/")[0]] = dict(
+            flag=int(f[1]), pos=int(f[3]), mapq=int(f[4]), cigar=f[5],
+            AS=tags.get("AS"), XS=tags.get("XS"), NM=tags.get("NM"),
+            MD=tags.get("MD"), XM=tags.get("XM"))
+    batches = list(iter_fastq(DATA / "longreads_300.fq", batch_size=300))
+    recs = al.align_batch(batches[0])
+    mine = {}
+    for r in recs:
+        f = sam_record(r, idx.ref_names).split("\t")
+        tags = {t.split(":")[0]: t.split(":", 2)[2] for t in f[11:]}
+        mine[f[0]] = dict(
+            flag=int(f[1]), pos=int(f[3]), mapq=int(f[4]), cigar=f[5],
+            AS=tags.get("AS"), XS=tags.get("XS"), NM=tags.get("NM"),
+            MD=tags.get("MD"), XM=tags.get("XM"))
+    full = sum(all(golden[k][f] == mine[k][f] for f in FIELDS) for k in golden)
+    assert full >= 0.98 * len(golden), f"only {full}/{len(golden)} identical"
