@@ -41,18 +41,31 @@ def cmd_align(args):
     from .utils.presets import preset_params
     idx = FmIndex.load(args.index)
     sc, polkw = preset_params(args.preset, args.local)
-    al = UnpairedAligner(idx, scoring=sc, policy=SearchPolicy(**polkw))
     out = open(args.S, "w") if args.S else sys.stdout
     out.write(sam_header(idx.ref_names, idx.ref_lens,
                          " ".join(sys.argv)))
     t0 = time.time()
     n = n_aligned = 0
-    for batch in iter_fastq(args.U, batch_size=args.batch):
-        recs = al.align_batch(batch)
-        for r in recs:
-            out.write(sam_record(r, idx.ref_names) + "\n")
-        n += len(recs)
-        n_aligned += sum(r.aligned for r in recs)
+    if args.m1 and args.m2:
+        from .align.paired import PairedAligner
+        pal = PairedAligner(idx, scoring=sc, policy=SearchPolicy(**polkw))
+        it1 = iter_fastq(args.m1, batch_size=args.batch)
+        it2 = iter_fastq(args.m2, batch_size=args.batch)
+        for b1, b2 in zip(it1, it2):
+            pairs = pal.align_batch(b1, b2)
+            for r1, r2 in pairs:
+                out.write(sam_record(r1, idx.ref_names) + "\n")
+                out.write(sam_record(r2, idx.ref_names) + "\n")
+            n += 2 * len(pairs)
+            n_aligned += sum(r1.aligned + r2.aligned for r1, r2 in pairs)
+    else:
+        al = UnpairedAligner(idx, scoring=sc, policy=SearchPolicy(**polkw))
+        for batch in iter_fastq(args.U, batch_size=args.batch):
+            recs = al.align_batch(batch)
+            for r in recs:
+                out.write(sam_record(r, idx.ref_names) + "\n")
+            n += len(recs)
+            n_aligned += sum(r.aligned for r in recs)
     dt = time.time() - t0
     print(f"{n} reads; {n_aligned} aligned ({100.0*n_aligned/max(n,1):.2f}%); "
           f"{n/max(dt,1e-9):.0f} reads/s", file=sys.stderr)
@@ -95,7 +108,9 @@ def main(argv=None):
 
     pa = sub.add_parser("align")
     pa.add_argument("-x", dest="index", required=True)
-    pa.add_argument("-U", dest="U", required=True)
+    pa.add_argument("-U", dest="U", default=None)
+    pa.add_argument("-1", dest="m1", default=None)
+    pa.add_argument("-2", dest="m2", default=None)
     pa.add_argument("-S", dest="S", default=None)
     pa.add_argument("--local", action="store_true")
     pa.add_argument("--preset", default=None,

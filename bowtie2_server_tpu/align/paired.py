@@ -1,0 +1,359 @@
+"""Paired-end alignment (ref: pe.cpp:37 peClassifyPair, pe.h:169
+PairedEndPolicy, aligner_sw_driver.cpp:1385 extendSeedsPaired,
+bt2_search.cpp paired driver paths).
+
+Strategy: run the full unpaired candidate machinery on both mates, then
+ 1. enumerate concordant combos from the two candidate sets (classification
+    is a faithful port of peClassifyPair's FR/RF/FF/RR + overlap/containment
+    /dovetail rules);
+ 2. batched mate rescue: for pairs with no concordant combo, run the
+    opposite mate as a rectangle DP over the fragment window implied by the
+    anchor (ref: frameFindMateRect + otherMate);
+ 3. classify: concordant pair (YT:Z:CP, proper flag, paired MAPQ over
+    summed scores) > discordant (both mates unique, YT:Z:DP) > mixed
+    unpaired (YT:Z:UP).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.fastq import ReadBatch
+from ..ops.sw import NEG_INF, sw_align_batch
+from .mapq import mapq_v2
+from .pipeline import AlnRec, SearchPolicy, UnpairedAligner
+
+CONCORDANT, DISCORDANT = 1, 0
+
+
+@dataclass(frozen=True)
+class PairedPolicy:
+    """ref: pe.h:169 + bt2_search.cpp:377-386 defaults."""
+    pol: str = "FR"
+    minfrag: int = 0
+    maxfrag: int = 500
+    olap_ok: bool = True
+    contain_ok: bool = True
+    dovetail_ok: bool = False
+    expand_to_fit: bool = True
+
+    def classify(self, off1, len1, fw1, off2, len2, fw2) -> int:
+        """Port of peClassifyPair (pe.cpp:37-137): returns CONCORDANT for
+        NORMAL/OVERLAP/CONTAIN/DOVETAIL (when allowed), else DISCORDANT."""
+        maxfrag = self.maxfrag
+        if self.expand_to_fit:
+            maxfrag = max(maxfrag, len1, len2)
+        minfrag = max(self.minfrag, 1)
+        if self.pol in ("FF", "RR"):
+            if fw1 != fw2:
+                return DISCORDANT
+            one_left = fw1 if self.pol == "FF" else not fw1
+        else:  # FR / RF
+            if fw1 == fw2:
+                return DISCORDANT
+            one_left = fw1 if self.pol == "FR" else not fw1
+        fraglo = min(off1, off2)
+        fraghi = max(off1 + len1, off2 + len2)
+        frag = fraghi - fraglo
+        if frag > maxfrag or frag < minfrag:
+            return DISCORDANT
+        lo1, hi1 = off1, off1 + len1 - 1
+        lo2, hi2 = off2, off2 + len2 - 1
+        containment = (lo1 >= lo2 and hi1 <= hi2) or \
+                      (lo2 >= lo1 and hi2 <= hi1)
+        olap = (lo1 <= lo2 <= hi1) or (lo1 <= hi2 <= hi1) or containment
+        if olap and not self.olap_ok:
+            return DISCORDANT
+        if not olap:
+            if (one_left and lo2 < lo1) or (not one_left and lo1 < lo2):
+                return DISCORDANT
+        if containment and not self.contain_ok:
+            return DISCORDANT
+        dovetail = (one_left and (hi1 > hi2 or lo2 < lo1)) or \
+                   (not one_left and (hi2 > hi1 or lo1 < lo2))
+        if dovetail and not self.dovetail_ok:
+            return DISCORDANT
+        return CONCORDANT
+
+
+class PairedAligner:
+    def __init__(self, index, scoring=None, policy: SearchPolicy | None = None,
+                 pe: PairedPolicy | None = None, engine: str = "auto"):
+        self.up = UnpairedAligner(index, scoring=scoring, policy=policy,
+                                  engine=engine)
+        self.pe = pe or PairedPolicy()
+
+    # approximate candidate ref start: end - readlen + 1 (exact for
+    # ungapped; off by <= #gap bases otherwise — the final classification
+    # re-checks with exact coordinates after traceback)
+    def _approx_off(self, st, ci):
+        i = st.cands[ci][0]
+        return int(st.end_joined[ci]) - int(st.lens[i]) + 1
+
+    def _combos(self, st1, st2, i, s1, s2):
+        out = []
+        l1, l2 = int(st1.lens[i]), int(st2.lens[i])
+        for sc1, c1 in s1[:8]:
+            fw1 = st1.cands[c1][1]
+            o1 = self._approx_off(st1, c1)
+            for sc2, c2 in s2[:8]:
+                fw2 = st2.cands[c2][1]
+                o2 = self._approx_off(st2, c2)
+                if self.pe.classify(o1, l1, fw1, o2, l2, fw2) == CONCORDANT:
+                    out.append((sc1 + sc2, sc1, c1, sc2, c2))
+        out.sort(key=lambda t: (-t[0], self._approx_off(st1, t[2])))
+        return out
+
+    def _rescue_jobs(self, st_anchor, st_opp, i, s_anchor, batch_opp):
+        """Build rectangle-DP rescue jobs for the opposite mate from the
+        anchor's best candidates (ref: PairedEndPolicy::otherMate +
+        frameFindMateRect: the fragment-length window)."""
+        jobs = []
+        lo_idx = int(st_opp.lens[i])
+        for sc_a, ca in s_anchor[:2]:
+            fw_a = st_anchor.cands[ca][1]
+            off_a = self._approx_off(st_anchor, ca)
+            alen = int(st_anchor.lens[i])
+            maxfrag = max(self.pe.maxfrag, alen, lo_idx) \
+                if self.pe.expand_to_fit else self.pe.maxfrag
+            if self.pe.pol == "FR":
+                opp_fw = not fw_a
+                if fw_a:   # anchor is the left mate
+                    wl, wr = off_a, off_a + maxfrag
+                else:      # anchor right; opposite to the left
+                    wl, wr = off_a + alen - maxfrag, off_a + alen
+            else:  # other policies: symmetric window around the anchor
+                opp_fw = not fw_a if self.pe.pol == "RF" else fw_a
+                wl, wr = off_a + alen - maxfrag, off_a + maxfrag
+            jobs.append((i, ca, opp_fw, wl, wr))
+        return jobs
+
+    def align_batch(self, b1: ReadBatch, b2: ReadBatch):
+        # Paired-mode coupling (ref: bt2_search.cpp:3392-3431, 3888, 3909):
+        # when both mates pass filters, the seed interval is boosted 20% and
+        # rounds are halved; and mate 1 failing its round-0 seeds aborts
+        # mate 2's seed stage for the round (which, with halved rounds, is
+        # the whole seed stage).
+        both_ok = (~self.up.compute_filtered(b1)) & \
+                  (~self.up.compute_filtered(b2))
+        st1 = self.up.collect(b1, boost=both_ok)
+        st2 = self.up.collect(b2, boost=both_ok,
+                              seed_skip=both_ok & st1.seeds_failed_r0)
+        B = st1.B
+        scored1 = [self.up.scored_candidates(st1, i) for i in range(B)]
+        scored2 = [self.up.scored_candidates(st2, i) for i in range(B)]
+        combos = [self._combos(st1, st2, i, scored1[i], scored2[i])
+                  for i in range(B)]
+
+        # ---- batched mate rescue ----
+        jobs = []  # (which_st_opp, i, opp_fw, wl, wr)
+        for i in range(B):
+            if combos[i]:
+                continue
+            # never rescue a filtered mate (N-filter etc., ref:
+            # bt2_search.cpp:3419 filt[] gates all paired work)
+            if scored1[i] and not st2.filtered[i]:
+                jobs += [("2", i, opp_fw, wl, wr) for (_, _, opp_fw, wl, wr)
+                         in self._rescue_jobs(st1, st2, i, scored1[i], b2)]
+            if scored2[i] and not st1.filtered[i]:
+                jobs += [("1", i, opp_fw, wl, wr) for (_, _, opp_fw, wl, wr)
+                         in self._rescue_jobs(st2, st1, i, scored2[i], b1)]
+        if jobs:
+            self._run_rescue(jobs, st1, st2, b1, b2)
+            # recompute scored/combos for affected reads
+            for i in {j[1] for j in jobs}:
+                scored1[i] = self.up.scored_candidates(st1, i)
+                scored2[i] = self.up.scored_candidates(st2, i)
+                combos[i] = self._combos(st1, st2, i, scored1[i], scored2[i])
+
+        # ---- per-pair decision ----
+        for i in range(B):
+            self._decide(st1, st2, i, scored1[i], scored2[i], combos[i])
+        return list(zip(st1.recs, st2.recs))
+
+    def _run_rescue(self, jobs, st1, st2, b1, b2):
+        """Rectangle DP of the missing mate over fragment windows, batched;
+        successful hits are appended as new candidates."""
+        up = self.up
+        idx = up.idx
+        joined = idx.joined
+        lq = 0
+        rows = []
+        for which, i, opp_fw, wl, wr in jobs:
+            st_opp = st2 if which == "2" else st1
+            lq = max(lq, int(st_opp.lens[i]))
+        lq = -(-max(lq, 1) // 64) * 64
+        wmax = -(-(self.pe.maxfrag + 64) // 128) * 128
+        C = len(jobs)
+        rd_m = np.full((C, lq), 5, np.uint8)
+        mm_m = np.zeros((C, lq), np.int32)
+        ref_m = np.full((C, wmax), 4, np.uint8)
+        clens = np.zeros(C, np.int32)
+        wlens = np.zeros(C, np.int32)
+        wls = np.zeros(C, np.int64)
+        metas = []
+        mmtab = up.sc.mm_penalties()
+        from .pipeline import revcomp_batch
+        for ci, (which, i, opp_fw, wl, wr) in enumerate(jobs):
+            st_opp = st2 if which == "2" else st1
+            b_opp = b2 if which == "2" else b1
+            rl = int(st_opp.lens[i])
+            seqs, quals = b_opp.seqs, b_opp.quals
+            if not opp_fw:
+                seqs, quals = revcomp_batch(
+                    seqs[i : i + 1], quals[i : i + 1],
+                    st_opp.lens[i : i + 1])
+                rd = seqs[0, :rl]
+                qu = quals[0, :rl]
+            else:
+                rd = seqs[i, :rl]
+                qu = quals[i, :rl]
+            wl = max(0, int(wl))
+            wr = min(idx.n, int(wr))
+            if wr <= wl:
+                metas.append(None)
+                continue
+            rd_m[ci, :rl] = rd
+            mm_m[ci, :rl] = mmtab[np.clip(qu, 0, 255)]
+            clens[ci] = rl
+            width = min(wr - wl, wmax)
+            ref_m[ci, :width] = joined[wl : wl + width]
+            wlens[ci] = width
+            wls[ci] = wl
+            metas.append((which, i, opp_fw, wl))
+        best, bi, bj = sw_align_batch(
+            rd_m, np.maximum(clens, 1), mm_m, ref_m, wlens, up.sw_cfg,
+            engine=up.engine)
+        for ci, meta in enumerate(metas):
+            if meta is None:
+                continue
+            which, i, opp_fw, wl = meta
+            st_opp = st2 if which == "2" else st1
+            if best[ci] < st_opp.minsc[i]:
+                continue
+            # append as a new candidate of the opposite mate
+            nci = len(st_opp.cands)
+            st_opp.cands.append((i, bool(opp_fw), wl + int(bj[ci])
+                                 - int(st_opp.lens[i]) + 1))
+            st_opp.best = np.append(st_opp.best, int(best[ci]))
+            st_opp.end_joined = np.append(st_opp.end_joined,
+                                          wl + int(bj[ci]))
+            st_opp.fin_info.append(
+                ("rect", int(bi[ci]), int(bj[ci]),
+                 ref_m[ci, : int(wlens[ci])].copy(), wl))
+            st_opp.by_read.setdefault(i, []).append(nci)
+            # register read arrays for the new candidate
+            st_opp.rescue_arrays = getattr(st_opp, "rescue_arrays", {})
+            st_opp.rescue_arrays[nci] = (
+                rd_m[ci, : int(st_opp.lens[i])].copy(),
+                mm_m[ci, : int(st_opp.lens[i])].copy())
+            orig_ra = st_opp.read_arrays
+            def make_ra(orig, table, lens_arr):
+                def ra(ci2):
+                    if ci2 in table:
+                        rd, mm = table[ci2]
+                        return rd, mm, len(rd)
+                    return orig(ci2)
+                return ra
+            st_opp.read_arrays = make_ra(orig_ra, st_opp.rescue_arrays,
+                                         st_opp.lens)
+
+    def _decide(self, st1, st2, i, s1, s2, combos):
+        r1, r2 = st1.recs[i], st2.recs[i]
+        pe = self.pe
+        # try concordant combos best-first
+        for rank, (tot, sc1, c1, sc2, c2) in enumerate(combos):
+            sec = combos[rank + 1][0] if rank + 1 < len(combos) else None
+            ok1 = self.up.finish_candidate(st1, i, c1, sc1, None)
+            ok2 = self.up.finish_candidate(st2, i, c2, sc2, None)
+            if not (ok1 and ok2):
+                r1.aligned = r2.aligned = False
+                continue
+            # re-classify with exact coordinates
+            span1 = _ref_span(r1)
+            span2 = _ref_span(r2)
+            if pe.classify(r1.pos, span1, r1.fw, r2.pos, span2,
+                           r2.fw) != CONCORDANT:
+                r1.aligned = r2.aligned = False
+                continue
+            msc = int(st1.minsc[i]) + int(st2.minsc[i])
+            per = int(st1.perfect[i]) + int(st2.perfect[i])
+            mq = mapq_v2(tot, sec, msc, per, self.up.sc.monotone)
+            for r, other, m1 in ((r1, r2, True), (r2, r1, False)):
+                r.mapq = mq
+                r.yt = "CP"
+                r.paired = True
+                r.mate1 = m1
+                r.proper = True
+                r.mate_aligned = True
+            self._set_mate_fields(r1, r2)
+            return
+        # discordant: both mates align uniquely (ref: ReportingState —
+        # discordant only considered with exactly one alignment each)
+        if len(s1) == 1 and len(s2) == 1 and s1 and s2:
+            ok1 = self.up.finish_candidate(st1, i, s1[0][1], s1[0][0], None)
+            ok2 = self.up.finish_candidate(st2, i, s2[0][1], s2[0][0], None)
+            if ok1 and ok2:
+                # discordant pairs use the paired (summed) MAPQ — both
+                # mates share it (ref: unique.h mapq s.paired() branch)
+                msc = int(st1.minsc[i]) + int(st2.minsc[i])
+                per = int(st1.perfect[i]) + int(st2.perfect[i])
+                mq = mapq_v2(r1.score + r2.score, None, msc, per,
+                             self.up.sc.monotone)
+                for r, m1 in ((r1, True), (r2, False)):
+                    r.yt = "DP"
+                    r.paired = True
+                    r.mate1 = m1
+                    r.proper = False
+                    r.mate_aligned = True
+                    r.mapq = mq
+                self._set_mate_fields(r1, r2)
+                return
+            r1.aligned = r2.aligned = False
+        # mixed: unpaired selection per mate
+        self.up._select_unpaired(st1, i)
+        self.up._select_unpaired(st2, i)
+        for r, m1 in ((r1, True), (r2, False)):
+            r.yt = "UP"
+            r.paired = True
+            r.mate1 = m1
+            r.proper = False
+        r1.mate_aligned = r2.aligned
+        r2.mate_aligned = r1.aligned
+        self._set_mate_fields(r1, r2)
+
+    @staticmethod
+    def _set_mate_fields(r1, r2):
+        for r, other in ((r1, r2), (r2, r1)):
+            r.mate_fw = other.fw
+            r.mate_ref_id = other.ref_id
+            r.mate_pos = other.pos
+        # TLEN: signed outermost distance when both aligned on the same ref
+        if r1.aligned and r2.aligned and r1.ref_id == r2.ref_id:
+            lo = min(r1.pos, r2.pos)
+            hi = max(r1.pos + _ref_span(r1), r2.pos + _ref_span(r2))
+            t = hi - lo
+            for r, other in ((r1, r2), (r2, r1)):
+                if r.pos != other.pos:
+                    r.tlen = t if r.pos < other.pos else -t
+                else:
+                    # same start: the forward-strand mate is "leftmost"
+                    # (observed reference behavior, e.g. equal-start
+                    # contained pairs)
+                    r.tlen = t if r.fw else -t
+            if r1.pos == r2.pos and r1.fw == r2.fw:
+                r1.tlen, r2.tlen = t, -t
+        else:
+            r1.tlen = r2.tlen = 0
+        r1.ys = r2.score if r2.aligned else None
+        r2.ys = r1.score if r1.aligned else None
+
+
+def _ref_span(r: AlnRec) -> int:
+    """Reference span from the CIGAR (M + D)."""
+    import re
+    if not r.aligned or r.cigar == "*":
+        return 0
+    return sum(int(n) for n, op in re.findall(r"(\d+)([MIDNSHP=X])", r.cigar)
+               if op in "MDN=X")

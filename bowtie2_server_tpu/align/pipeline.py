@@ -82,6 +82,16 @@ class AlnRec:
     yt: str = "UU"
     seq: bytes = b""        # aligned-strand sequence (SAM SEQ)
     qual: bytes = b""
+    # paired-end fields (ref: aln_sink SAM flag/TLEN assembly)
+    paired: bool = False
+    mate1: bool = True
+    proper: bool = False
+    mate_aligned: bool = False
+    mate_fw: bool = True
+    mate_ref_id: int = -1
+    mate_pos: int = -1
+    tlen: int = 0
+    ys: int | None = None
 
 
 def revcomp_batch(seqs, quals, lens):
@@ -117,16 +127,22 @@ class UnpairedAligner:
 
     # ---- seed schedule (ref: bt2_search.cpp:3848-3870, aligner_seed.cpp:498)
 
-    def seed_offsets(self, rdlen: int, roundi: int = 0) -> list[int]:
+    def seed_offsets(self, rdlen: int, roundi: int = 0,
+                     boost: bool = False, nrounds: int | None = None
+                     ) -> list[int]:
         """Seed depths for one reseeding round (ref: bt2_search.cpp:3848-3870:
         offset = interval*round/nrounds; aligner_seed.cpp:523-529: nseeds =
-        1 + (len-off-L)/interval when len-off > L)."""
+        1 + (len-off-L)/interval when len-off > L). With boost (paired mode,
+        both mates unfiltered) the interval grows 20% (bt2_search.cpp:3394)."""
         pol = self.pol
         interval = max(1, pol.interval.f_int(rdlen))
+        if boost:
+            interval = max(1, int(interval * 1.2 + 0.5))
         L = pol.seed_len
         if interval <= roundi:
             return []
-        off = (interval * roundi) // pol.n_seed_rounds
+        nr = nrounds if nrounds is not None else pol.n_seed_rounds
+        off = (interval * roundi) // nr
         if off > 0 and L + off > rdlen:
             return []
         nseeds = 1
@@ -136,7 +152,34 @@ class UnpairedAligner:
 
     # ---- the batch pipeline ----
 
+    def compute_filtered(self, batch: ReadBatch) -> np.ndarray:
+        """Per-read filter mask (N-filter, length, score filter) without
+        running the pipeline (ref: bt2_search.cpp:3323-3352)."""
+        B, L = batch.seqs.shape
+        lens = batch.lens
+        n_counts = ((batch.seqs > 3)
+                    & (np.arange(L)[None, :] < lens[:, None])).sum(1)
+        nceil = np.array([self.sc.n_ceil_for(int(l)) for l in lens])
+        minsc = np.array([self.sc.score_min_for(int(l)) for l in lens])
+        perfect = np.array([self.sc.perfect_score(int(l)) for l in lens])
+        return (lens == 0) | (n_counts > nceil) | (perfect < minsc)
+
     def align_batch(self, batch: ReadBatch) -> list[AlnRec]:
+        st = self.collect(batch)
+        for i in range(st.B):
+            self._select_unpaired(st, i)
+        return st.recs
+
+    def collect(self, batch: ReadBatch, boost=None, seed_skip=None):
+        """Run all candidate-generation + DP stages; return the per-batch
+        state (candidates with scores and finish info) without committing a
+        per-read selection — shared by unpaired and paired drivers.
+
+        boost[i]: paired-mode interval boost + round halving (ref:
+        bt2_search.cpp:3392-3431 when filt[0] && filt[1]).
+        seed_skip[i]: skip the seed stage (the other mate's round-0 seeds
+        failed first — ref: bt2_search.cpp:3888/3909 break skips the second
+        mate of the round, and with halved rounds there is no round 1)."""
         B, L = batch.seqs.shape
         lens = batch.lens
         fw_seqs, fw_quals = batch.seqs, batch.quals
@@ -159,15 +202,22 @@ class UnpairedAligner:
         for i in np.nonzero(filtered)[0]:
             recs[i].filtered = True
 
+        from types import SimpleNamespace
+        exact_mult = np.zeros(B, np.int64)  # # exact hits (for secbest)
+        empty_state = SimpleNamespace(
+            B=B, recs=recs, cands=[], best=np.zeros(0, np.int64),
+            end_joined=np.zeros(0, np.int64), fin_info=[], by_read={},
+            read_arrays=None, lens=lens, minsc=minsc, perfect=perfect,
+            nceil=nceil, exact_mult=exact_mult, filtered=filtered,
+            seeds_failed_r0=np.zeros(B, bool))
         active = ~filtered
         if not active.any():
-            return recs
+            return empty_state
 
         # -- candidate generation --
         # each candidate: (read, fw?, diag) with diag = joined pos where the
         # (aligned-strand) read starts
         cand = set()
-        exact_mult = np.zeros(B, np.int64)  # # exact hits (for secbest)
 
         # exact full-read sweep + 1-mismatch up-front, fused (ref:
         # aligner_seed.cpp:854 exactSweep, :973 oneMmSearch with
@@ -242,8 +292,17 @@ class UnpairedAligner:
         # or missed entirely (ref: bt2_search.cpp:4085-4089 seedBoostThresh,
         # aligner_seed.h:821 averageHitsPerSeed).
         Lseed = self.pol.seed_len
+        if boost is None:
+            boost = np.zeros(B, bool)
+        boost = np.asarray(boost, bool)
+        nrounds_arr = np.where(
+            boost, -(-self.pol.n_seed_rounds // 2), self.pol.n_seed_rounds)
         round_active = active.copy()
+        if seed_skip is not None:
+            round_active &= ~np.asarray(seed_skip, bool)
+        seeds_failed_r0 = np.zeros(B, bool)
         for roundi in range(self.pol.n_seed_rounds):
+            round_active &= roundi < nrounds_arr
             if not round_active.any():
                 break
             # Vectorized seed instantiation, grouped by read length. rc
@@ -253,10 +312,16 @@ class UnpairedAligner:
             # (ref: aligner_seed.cpp:583-586).
             sr_parts, sf_parts, sd_parts, sp_parts = [], [], [], []
             inst_count = np.zeros(B, np.int64)
-            for rl_val in np.unique(lens[round_active]):
+            for rl_val, bval in {(int(l), bool(bv)) for l, bv in
+                                 zip(lens[round_active],
+                                     boost[round_active])}:
                 rl = int(rl_val)
-                grp = np.nonzero(round_active & (lens == rl_val))[0]
-                offs = self.seed_offsets(rl, roundi)
+                grp = np.nonzero(round_active & (lens == rl_val)
+                                 & (boost == bval))[0]
+                offs = self.seed_offsets(rl, roundi, boost=bval,
+                                         nrounds=int(-(-self.pol.n_seed_rounds
+                                                       // 2)) if bval
+                                         else None)
                 sl = min(Lseed, rl)
                 for is_fw, seqs in ((True, fw_seqs), (False, rc_seqs)):
                     for off in offs:
@@ -275,6 +340,8 @@ class UnpairedAligner:
                         sp_parts.append(pats)
             # reads with zero instantiated seeds are done entirely (ref:
             # bt2_search.cpp:3888-3893 "No seed hits! Done with this mate")
+            if roundi == 0:
+                seeds_failed_r0 |= round_active & (inst_count == 0)
             round_active = round_active & (inst_count > 0)
             if not sr_parts:
                 break
@@ -307,12 +374,15 @@ class UnpairedAligner:
             hits = (bot - top).astype(np.int64)
             nonz = np.bincount(seed_reads_a, weights=(hits > 0), minlength=B)
             tot = np.bincount(seed_reads_a, weights=hits, minlength=B)
-            boosted = (nonz > 0) & (
+            if roundi == 0:
+                seeds_failed_r0 |= round_active & (nonz == 0)
+            repeat = (nonz > 0) & (
                 np.divide(tot, np.maximum(nonz, 1)) >= 300)
-            round_active = round_active & boosted
+            round_active = round_active & repeat
 
         if not cand:
-            return recs
+            empty_state.seeds_failed_r0 = seeds_failed_r0
+            return empty_state
 
         # -- DP extension of all candidates --
         # Interior candidates go through the banded kernel (ops/sw_banded.py);
@@ -421,45 +491,58 @@ class UnpairedAligner:
                 fin_info[ci] = ("rect", int(r_bi[ri]), int(r_bj[ri]),
                                 ref_m[ri, : wr - wl], wl)
 
-        # -- per-read selection + reporting --
+        # -- package per-batch state --
+        from types import SimpleNamespace
         by_read: dict[int, list[int]] = {}
         for ci, (i, _, _) in enumerate(cands):
             by_read.setdefault(i, []).append(ci)
+        return SimpleNamespace(
+            B=B, recs=recs, cands=cands, best=best, end_joined=end_joined,
+            fin_info=fin_info, by_read=by_read, read_arrays=read_arrays,
+            lens=lens, minsc=minsc, perfect=perfect, nceil=nceil,
+            exact_mult=exact_mult, filtered=filtered,
+            seeds_failed_r0=seeds_failed_r0)
 
-        for i, cis in by_read.items():
-            rl = int(lens[i])
-            msc = int(minsc[i])
-            # Redundancy suppression (ref: aligner_sw_driver.h:300 redAnchor,
-            # SwDriver seenDiags): candidates whose DP windows contain the
-            # same optimal alignment share the alignment's END position —
-            # dedup on (strand, joined end position), keeping the best score.
-            by_end: dict[tuple, tuple] = {}
-            for ci in cis:
-                if best[ci] < msc or fin_info[ci] is None:
-                    continue
-                key = (cands[ci][1], int(end_joined[ci]))
-                cur = by_end.get(key)
-                cand_t = (int(best[ci]), ci)
-                if cur is None or cand_t[0] > cur[0]:
-                    by_end[key] = cand_t
-            scored = sorted(
-                by_end.values(),
-                key=lambda t: (-t[0], cands[t[1]][2], not cands[t[1]][1]))
-            for rank, (bsc, bci) in enumerate(scored):
-                sec = None
-                if len(scored) > rank + 1:
-                    sec = scored[rank + 1][0]
-                elif exact_mult[i] > self.pol.max_sa_elts or \
-                        (exact_mult[i] > 1 and len(scored) == rank + 1):
-                    sec = int(perfect[i])  # other exact copies exist
-                rd, mm, _ = read_arrays(bci)
-                _, is_fw, diag = cands[bci]
-                kind, fi, fj, window, wstart = fin_info[bci]
-                if self._finish(recs[i], i, is_fw, rl, bsc, sec, kind, fi,
-                                fj, rd, mm, window, wstart, int(minsc[i]),
-                                int(perfect[i]), int(nceil[i])):
-                    break
-        return recs
+    def scored_candidates(self, st, i):
+        """Valid candidates of read i, redundancy-suppressed (dedup on
+        (strand, joined end position) — ref: aligner_sw_driver.h:300
+        redAnchor / seenDiags) and sorted best-first."""
+        msc = int(st.minsc[i])
+        by_end: dict[tuple, tuple] = {}
+        for ci in st.by_read.get(i, []):
+            if st.best[ci] < msc or st.fin_info[ci] is None:
+                continue
+            key = (st.cands[ci][1], int(st.end_joined[ci]))
+            cur = by_end.get(key)
+            cand_t = (int(st.best[ci]), ci)
+            if cur is None or cand_t[0] > cur[0]:
+                by_end[key] = cand_t
+        return sorted(
+            by_end.values(),
+            key=lambda t: (-t[0], st.cands[t[1]][2], not st.cands[t[1]][1]))
+
+    def finish_candidate(self, st, i, ci, bsc, sec, rec=None) -> bool:
+        """Traceback + commit candidate ci of read i into rec (default:
+        the read's record). Returns False if the candidate is rejected."""
+        rd, mm, _ = st.read_arrays(ci)
+        _, is_fw, diag = st.cands[ci]
+        kind, fi, fj, window, wstart = st.fin_info[ci]
+        return self._finish(
+            rec if rec is not None else st.recs[i], i, is_fw,
+            int(st.lens[i]), bsc, sec, kind, fi, fj, rd, mm, window, wstart,
+            int(st.minsc[i]), int(st.perfect[i]), int(st.nceil[i]))
+
+    def _select_unpaired(self, st, i) -> None:
+        scored = self.scored_candidates(st, i)
+        for rank, (bsc, bci) in enumerate(scored):
+            sec = None
+            if len(scored) > rank + 1:
+                sec = scored[rank + 1][0]
+            elif st.exact_mult[i] > self.pol.max_sa_elts or \
+                    (st.exact_mult[i] > 1 and len(scored) == rank + 1):
+                sec = int(st.perfect[i])  # other exact copies exist
+            if self.finish_candidate(st, i, bci, bsc, sec):
+                break
 
     def _finish(self, rec: AlnRec, i, is_fw, rl, bsc, sec, kind, bi, bk,
                 rd, mm, window, wstart, msc, per, nc) -> bool:

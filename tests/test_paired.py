@@ -1,0 +1,78 @@
+"""Paired-end parity vs reference output (first 300 pairs of the bundled
+example), plus unit tests of the pair classification port."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from bowtie2_server_tpu.align.paired import (CONCORDANT, DISCORDANT,
+                                             PairedPolicy)
+
+DATA = Path(__file__).parent / "data"
+FIELDS = ["flag", "pos", "mapq", "cigar", "rnext", "pnext", "tlen",
+          "AS", "NM", "MD", "YS", "YT"]
+
+
+def test_classify_fr_normal():
+    pe = PairedPolicy()
+    # mate1 fw at 100, mate2 rc at 300, frag 400 <= 500
+    assert pe.classify(100, 100, True, 300, 100, False) == CONCORDANT
+    # same orientation -> discordant
+    assert pe.classify(100, 100, True, 300, 100, True) == DISCORDANT
+    # too far
+    assert pe.classify(100, 100, True, 700, 100, False) == DISCORDANT
+    # wrong relative order (rc mate left, no overlap)
+    assert pe.classify(300, 100, True, 100, 100, False) == DISCORDANT
+    # containment allowed by default — but only when the left mate does not
+    # extend past the right mate's end (that would be dovetail, off by
+    # default; ref: pe.cpp:128-133): equal right ends is plain containment
+    assert pe.classify(100, 200, True, 250, 50, False) == CONCORDANT
+    # containing left mate extending past -> dovetail -> discordant
+    assert pe.classify(100, 200, True, 150, 50, False) == DISCORDANT
+    # dovetail NOT allowed by default
+    assert pe.classify(100, 100, True, 90, 100, False) == DISCORDANT
+
+
+def _parse(path, server=False):
+    recs = {}
+    for line in Path(path).read_text().splitlines():
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        name = f[0].split("/")[0] if server else f[0]
+        flag = int(f[1])
+        mate = 1 if flag & 0x40 else 2
+        tags = {t.split(":")[0]: t.split(":", 2)[2] for t in f[11:]}
+        recs[(name, mate)] = dict(
+            flag=flag, pos=int(f[3]), mapq=int(f[4]), cigar=f[5],
+            rnext=f[6], pnext=int(f[7]), tlen=int(f[8]),
+            AS=tags.get("AS"), NM=tags.get("NM"), MD=tags.get("MD"),
+            YS=tags.get("YS"), YT=tags.get("YT"))
+    return recs
+
+
+def test_paired_parity_lambda():
+    from bowtie2_server_tpu.align.paired import PairedAligner
+    from bowtie2_server_tpu.index.build import build_index
+    from bowtie2_server_tpu.io.fastq import iter_fastq
+    from bowtie2_server_tpu.io.sam import sam_record
+    idx = build_index("/root/reference/example/reference/lambda_virus.fa")
+    pal = PairedAligner(idx, engine="xla")
+    b1 = next(iter_fastq(DATA / "reads1_300.fq", batch_size=300))
+    b2 = next(iter_fastq(DATA / "reads2_300.fq", batch_size=300))
+    pairs = pal.align_batch(b1, b2)
+    mine = {}
+    for r1, r2 in pairs:
+        for r in (r1, r2):
+            f = sam_record(r, idx.ref_names).split("\t")
+            tags = {t.split(":")[0]: t.split(":", 2)[2] for t in f[11:]}
+            mine[(f[0], 1 if int(f[1]) & 0x40 else 2)] = dict(
+                flag=int(f[1]), pos=int(f[3]), mapq=int(f[4]), cigar=f[5],
+                rnext=f[6], pnext=int(f[7]), tlen=int(f[8]),
+                AS=tags.get("AS"), NM=tags.get("NM"), MD=tags.get("MD"),
+                YS=tags.get("YS"), YT=tags.get("YT"))
+    golden = _parse(DATA / "golden_paired_600.sam", server=True)
+    assert set(golden) == set(mine)
+    full = sum(all(golden[k][f] == mine[k][f] for f in FIELDS)
+               for k in golden)
+    assert full >= 0.98 * len(golden), f"only {full}/{len(golden)}"
