@@ -97,6 +97,41 @@ def cmd_inspect(args):
             print(seq[j : j + 60])
 
 
+def cmd_server(args):
+    if args.cpu:
+        _force_cpu()
+    from .server.bt2srv import run_server
+    run_server(args.index, port=args.port, host=args.host, local=args.local,
+               preset=args.preset, batch_size=args.batch)
+
+
+def cmd_client(args):
+    from .io.fastq import iter_fastq
+    from .server.client import Bt2Client
+    cl = Bt2Client(args.host, args.port, args.index)
+    if args.m1 and args.m2:
+        def rows():
+            for b1, b2 in zip(iter_fastq(args.m1, batch_size=1024),
+                              iter_fastq(args.m2, batch_size=1024)):
+                for i in range(len(b1)):
+                    yield (b1.names[i] + "/1", b1.raw_seq[i], b1.raw_qual[i],
+                           b2.names[i] + "/2", b2.raw_seq[i], b2.raw_qual[i])
+    else:
+        def rows():
+            for b in iter_fastq(args.U, batch_size=1024):
+                for i in range(len(b)):
+                    yield (b.names[i], b.raw_seq[i], b.raw_qual[i])
+    cl.send_reads(rows())
+    out = open(args.S, "w") if args.S else sys.stdout
+    n = 0
+    for line in cl.finish():
+        out.write(line + "\n")
+        n += 1
+    print(f"received {n} SAM records", file=sys.stderr)
+    if args.S:
+        out.close()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bowtie2_server_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -124,6 +159,26 @@ def main(argv=None):
     pi.add_argument("-n", dest="names", action="store_true")
     pi.add_argument("-s", dest="summary", action="store_true")
     pi.set_defaults(fn=cmd_inspect)
+
+    ps = sub.add_parser("server")
+    ps.add_argument("-x", dest="index", required=True)
+    ps.add_argument("--port", type=int, default=8080)
+    ps.add_argument("--host", default="0.0.0.0")
+    ps.add_argument("--local", action="store_true")
+    ps.add_argument("--preset", default=None)
+    ps.add_argument("--cpu", action="store_true")
+    ps.add_argument("--batch", type=int, default=4096)
+    ps.set_defaults(fn=cmd_server)
+
+    pc = sub.add_parser("client")
+    pc.add_argument("--host", default="localhost")
+    pc.add_argument("--port", type=int, default=8080)
+    pc.add_argument("-x", dest="index", default="index")
+    pc.add_argument("-U", dest="U", default=None)
+    pc.add_argument("-1", dest="m1", default=None)
+    pc.add_argument("-2", dest="m2", default=None)
+    pc.add_argument("-S", dest="S", default=None)
+    pc.set_defaults(fn=cmd_client)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,142 @@
+"""BT2SRV protocol server/client tests (in-process, ephemeral port)."""
+import socket
+import subprocess
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    import asyncio
+
+    from bowtie2_server_tpu.index.build import build_index
+    from bowtie2_server_tpu.server.bt2srv import Bt2Server
+
+    idx = build_index("/root/reference/example/reference/lambda_virus.fa")
+    base = Path("tmp/test_srv_idx")
+    base.parent.mkdir(exist_ok=True)
+    idx.save(base)
+    srv = Bt2Server(str(base), index_name="lambda", batch_size=64,
+                    engine="xla")
+
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    port_holder = {}
+
+    async def run():
+        s = await asyncio.start_server(srv.handle, "127.0.0.1", 0,
+                                       limit=1 << 20)
+        port_holder["port"] = s.sockets[0].getsockname()[1]
+        started.set()
+        async with s:
+            await s.serve_forever()
+
+    t = threading.Thread(target=lambda: loop.run_until_complete(run()),
+                         daemon=True)
+    t.start()
+    assert started.wait(10)
+    yield port_holder["port"], idx
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_banner_and_config(server):
+    port, _ = server
+    with socket.create_connection(("127.0.0.1", port)) as s:
+        s.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        data = s.recv(4096)
+    assert b"200 OK" in data and b"bowtie2 SaaS" in data
+    with socket.create_connection(("127.0.0.1", port)) as s:
+        s.sendall(b"GET /config HTTP/1.1\r\nHost: x\r\n\r\n")
+        time.sleep(0.3)
+        data = s.recv(4096)
+    assert b"BT2SRV-Version:" in data and b"Index-Name: lambda" in data
+    assert b"Seed-Len: 22" in data
+
+
+def test_bad_requests(server):
+    port, _ = server
+    with socket.create_connection(("127.0.0.1", port)) as s:
+        s.sendall(b"GET /nonsense HTTP/1.1\r\nHost: x\r\n\r\n")
+        data = s.recv(4096)
+    assert b"400" in data
+    with socket.create_connection(("127.0.0.1", port)) as s:
+        s.sendall(b"FROB / HTTP/1.1\r\nHost: x\r\n\r\n")
+        data = s.recv(4096)
+    assert b"405" in data
+
+
+def test_align_roundtrip_unpaired(server):
+    port, idx = server
+    from bowtie2_server_tpu.server.client import Bt2Client
+    from bowtie2_server_tpu.utils import dna
+    rng = np.random.default_rng(11)
+    rows = []
+    expected_pos = {}
+    for i in range(100):
+        s = int(rng.integers(0, idx.n - 80))
+        seq = dna.decode(idx.joined[s : s + 80])
+        rows.append((f"q{i}", seq, "I" * 80))
+        expected_pos[f"q{i}"] = s + 1
+    cl = Bt2Client("127.0.0.1", port, "lambda")
+    assert cl.config["X-BT2SRV-Index-Name"] == "lambda"
+    cl.send_reads(rows)
+    got = {}
+    for line in cl.finish():
+        f = line.split("\t")
+        got[f[0]] = (int(f[1]), int(f[3]))
+    assert len(got) == 100
+    for name, pos1 in expected_pos.items():
+        assert got[name] == (0, pos1), name
+
+
+def test_align_roundtrip_paired(server):
+    port, idx = server
+    from bowtie2_server_tpu.server.client import Bt2Client
+    from bowtie2_server_tpu.utils import dna
+    rng = np.random.default_rng(12)
+    rows = []
+    for i in range(20):
+        s = int(rng.integers(0, idx.n - 400))
+        m1 = dna.decode(idx.joined[s : s + 90])
+        m2 = dna.decode(dna.revcomp(idx.joined[s + 210 : s + 300]))
+        rows.append((f"p{i}/1", m1, "I" * 90, f"p{i}/2", m2, "I" * 90))
+    cl = Bt2Client("127.0.0.1", port, "lambda")
+    cl.send_reads(rows)
+    recs = [line.split("\t") for line in cl.finish()]
+    assert len(recs) == 40
+    # all concordant
+    for f in recs:
+        assert int(f[1]) & 0x2, f
+        assert any(t == "YT:Z:CP" for t in f[11:])
+
+
+REF_CLIENT = Path("/root/repo/.refbuild-client/bowtie2-align-s")
+
+
+@pytest.mark.skipif(not REF_CLIENT.exists(),
+                    reason="reference client binary not built")
+def test_reference_client_wire_compat(server):
+    """The reference fork's client binary (-DBT2WEBCLIENT) must be able to
+    talk to our server unchanged."""
+    port, idx = server
+    reads = Path("tmp/wire_reads.fq")
+    from bowtie2_server_tpu.utils import dna
+    rng = np.random.default_rng(13)
+    with open(reads, "w") as f:
+        for i in range(25):
+            s = int(rng.integers(0, idx.n - 70))
+            f.write(f"@w{i}\n{dna.decode(idx.joined[s:s+70])}\n+\n{'I'*70}\n")
+    out = Path("tmp/wire_out.sam")
+    r = subprocess.run(
+        [str(REF_CLIENT), "-x", "tmp/lambda", "--server-host", "localhost",
+         "--server-port", str(port), "-U", str(reads), "-S", str(out)],
+        capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(lines) == 25
+    aligned = sum(1 for l in lines if int(l.split("\t")[1]) & 4 == 0)
+    assert aligned == 25
