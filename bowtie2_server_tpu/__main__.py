@@ -38,8 +38,10 @@ def cmd_align(args):
     from .io.sam import sam_header, sam_record
     from .utils.scoring import Scoring
 
+    from .index.bt2_reader import detect_index
     from .utils.presets import preset_params
-    idx = FmIndex.load(args.index)
+    _, loader = detect_index(args.index)
+    idx = loader(args.index)
     sc, polkw = preset_params(args.preset, args.local)
     out = open(args.S, "w") if args.S else sys.stdout
     out.write(sam_header(idx.ref_names, idx.ref_lens,
@@ -77,9 +79,10 @@ def cmd_inspect(args):
     """ref: bt2_inspect.cpp:255-330 — names, summary, or FASTA reconstruction.
     We keep the full reference (with Ns) in the index, so reconstruction is a
     direct dump rather than an LF-walk."""
-    from .index.fm import FmIndex
+    from .index.bt2_reader import detect_index
     from .utils import dna
-    idx = FmIndex.load(args.base)
+    _, loader = detect_index(args.base)
+    idx = loader(args.base)
     if args.names:
         for n in idx.ref_names:
             print(n)

@@ -42,7 +42,9 @@ class Bt2Server:
     def __init__(self, index_base: str, index_name: str | None = None,
                  local: bool = False, preset: str | None = None,
                  batch_size: int = FLUSH_READS, engine: str = "auto"):
-        self.idx = FmIndex.load(index_base)
+        from ..index.bt2_reader import detect_index
+        _, loader = detect_index(str(index_base))
+        self.idx = loader(str(index_base))
         self.index_name = index_name or str(index_base).rsplit("/", 1)[-1]
         sc, polkw = preset_params(preset, local)
         self.pol = SearchPolicy(**polkw)

@@ -118,3 +118,22 @@ def test_save_load_roundtrip(small_index, tmp_path):
     assert idx2.ref_names == idx.ref_names
     pat = text[100:130]
     assert search_exact(idx2.fw, pat) == search_exact(idx.fw, pat)
+
+
+def test_bt2_format_reader():
+    """Reading the reference's own .bt2 index reproduces the genome exactly
+    (requires the reference-built lambda index in tmp/)."""
+    from pathlib import Path
+    if not Path("tmp/lambda.1.bt2").exists():
+        pytest.skip("reference lambda .bt2 index not present")
+    from bowtie2_server_tpu.index.bt2_reader import (detect_index,
+                                                     read_bt2_reference)
+    names, seqs = read_bt2_reference("tmp/lambda")
+    fnames, fseqs = parse_fasta(
+        "/root/reference/example/reference/lambda_virus.fa")
+    assert names == fnames
+    assert all(np.array_equal(a, b) for a, b in zip(seqs, fseqs))
+    kind, loader = detect_index("tmp/lambda")
+    assert kind == "bt2"
+    idx = loader("tmp/lambda")
+    assert idx.n == sum(len(s) for s in fseqs)
