@@ -53,11 +53,18 @@ def parse_fasta(path_or_text) -> tuple[list[str], list[np.ndarray]]:
 
 
 def suffix_array(text: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (numpy lexsort). Terminator-free:
-    shorter suffixes sort before longer ones sharing a prefix ($ < all)."""
+    """Suffix array: native C++ SA-IS when available (O(n), the counterpart
+    of the reference's blockwise sort / libsais), else numpy prefix-doubling
+    (O(n log n) lexsorts). Terminator-free semantics either way: shorter
+    suffixes sort before longer ones sharing a prefix ($ < all)."""
     n = len(text)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    if n > 1 << 14:  # native pays off beyond small inputs
+        from ..native import sais
+        sa = sais(text)
+        if sa is not None:
+            return sa
     # rank starts at char+1 so 0 can mean "past end" (the implicit $).
     rank = text.astype(np.int64) + 1
     idx = np.arange(n, dtype=np.int64)

@@ -137,3 +137,16 @@ def test_bt2_format_reader():
     assert kind == "bt2"
     idx = loader("tmp/lambda")
     assert idx.n == sum(len(s) for s in fseqs)
+
+
+def test_native_sais_matches_doubling(rng):
+    """Native SA-IS vs the numpy prefix-doubling construction."""
+    from bowtie2_server_tpu.native import sais
+    if sais(np.zeros(4, np.uint8)) is None:
+        pytest.skip("native toolchain unavailable")
+    for n in [3, 50, 1000, 5000]:
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        got = sais(t)
+        np.testing.assert_array_equal(got, naive_suffix_array(t))
+    t = dna.encode("ACGT" * 300 + "A" * 100 + "ACGT" * 300)
+    np.testing.assert_array_equal(sais(t), naive_suffix_array(t))
