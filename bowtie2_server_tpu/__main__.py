@@ -32,45 +32,101 @@ def cmd_build(args):
 def cmd_align(args):
     if args.cpu:
         _force_cpu()
-    from .align.pipeline import SearchPolicy, UnpairedAligner
-    from .index.fm import FmIndex
-    from .io.fastq import iter_fastq
-    from .io.sam import sam_header, sam_record
-    from .utils.scoring import Scoring
+    from dataclasses import replace
 
+    from .align.pipeline import SearchPolicy, UnpairedAligner
     from .index.bt2_reader import detect_index
+    from .io.fastq import iter_fastq
+    from .io.metrics import AlnSummary, PerfTicker
+    from .io.sam import sam_header, sam_record
     from .utils.presets import preset_params
+    from .utils.simple_func import SimpleFunc
+
     _, loader = detect_index(args.index)
     idx = loader(args.index)
     sc, polkw = preset_params(args.preset, args.local)
+    if args.ignore_quals:
+        sc = sc.with_ignore_quals()
+    if args.score_min:
+        sc = replace(sc, score_min=SimpleFunc.parse(args.score_min))
+    if args.seedlen:
+        polkw["seed_len"] = args.seedlen
+    if args.ival:
+        polkw["interval"] = SimpleFunc.parse(args.ival)
+    if args.rounds:
+        polkw["n_seed_rounds"] = args.rounds
+    khits = 500 if args.all_hits else args.khits
+    pol = SearchPolicy(khits=khits, **polkw)
+
     out = open(args.S, "w") if args.S else sys.stdout
-    out.write(sam_header(idx.ref_names, idx.ref_lens,
-                         " ".join(sys.argv)))
+    out.write(sam_header(idx.ref_names, idx.ref_lens, " ".join(sys.argv),
+                         rg_id=args.rg_id, rg_fields=args.rg))
+    un_f = open(args.un, "w") if args.un else None
+    al_f = open(args.al, "w") if args.al else None
+    summ = AlnSummary()
+    ticker = PerfTicker(interval=args.met) if args.met_stderr else None
     t0 = time.time()
     n = n_aligned = 0
+    fq_kw = dict(batch_size=args.batch, trim5=args.trim5, trim3=args.trim3,
+                 skip=args.skip, upto=args.upto)
+
+    def write_fq(f, rec):
+        f.write(f"@{rec.name}\n{rec.seq.decode()}\n+\n"
+                f"{rec.qual.decode() or 'I'*len(rec.seq)}\n")
+
     if args.m1 and args.m2:
-        from .align.paired import PairedAligner
-        pal = PairedAligner(idx, scoring=sc, policy=SearchPolicy(**polkw))
-        it1 = iter_fastq(args.m1, batch_size=args.batch)
-        it2 = iter_fastq(args.m2, batch_size=args.batch)
+        from .align.paired import PairedAligner, PairedPolicy
+        pe = PairedPolicy(pol=args.orient, minfrag=args.minins,
+                          maxfrag=args.maxins,
+                          dovetail_ok=args.dovetail,
+                          contain_ok=not args.no_contain,
+                          olap_ok=not args.no_overlap)
+        pal = PairedAligner(idx, scoring=sc, policy=pol, pe=pe,
+                            no_mixed=args.no_mixed,
+                            no_discordant=args.no_discordant)
+        pal.up.nofw, pal.up.norc = args.nofw, args.norc
+        it1 = iter_fastq(args.m1, **fq_kw)
+        it2 = iter_fastq(args.m2, **fq_kw)
         for b1, b2 in zip(it1, it2):
             pairs = pal.align_batch(b1, b2)
             for r1, r2 in pairs:
-                out.write(sam_record(r1, idx.ref_names) + "\n")
-                out.write(sam_record(r2, idx.ref_names) + "\n")
+                out.write(sam_record(r1, idx.ref_names, args.rg_id) + "\n")
+                out.write(sam_record(r2, idx.ref_names, args.rg_id) + "\n")
+                summ.add_pair(r1, r2)
             n += 2 * len(pairs)
-            n_aligned += sum(r1.aligned + r2.aligned for r1, r2 in pairs)
+            na = sum(r1.aligned + r2.aligned for r1, r2 in pairs)
+            n_aligned += na
+            if ticker:
+                ticker.tick(2 * len(pairs), na)
     else:
-        al = UnpairedAligner(idx, scoring=sc, policy=SearchPolicy(**polkw))
-        for batch in iter_fastq(args.U, batch_size=args.batch):
+        al = UnpairedAligner(idx, scoring=sc, policy=pol,
+                             nofw=args.nofw, norc=args.norc)
+        for batch in iter_fastq(args.U, **fq_kw):
             recs = al.align_batch(batch)
             for r in recs:
-                out.write(sam_record(r, idx.ref_names) + "\n")
-            n += len(recs)
-            n_aligned += sum(r.aligned for r in recs)
+                if r.secondary and args.no_unal:
+                    pass
+                out.write(sam_record(r, idx.ref_names, args.rg_id) + "\n")
+                if not r.secondary:
+                    summ.add_unpaired(r)
+                    if un_f and not r.aligned:
+                        write_fq(un_f, r)
+                    if al_f and r.aligned:
+                        write_fq(al_f, r)
+            prim = [r for r in recs if not r.secondary]
+            n += len(prim)
+            na = sum(r.aligned for r in prim)
+            n_aligned += na
+            if ticker:
+                ticker.tick(len(prim), na)
     dt = time.time() - t0
-    print(f"{n} reads; {n_aligned} aligned ({100.0*n_aligned/max(n,1):.2f}%); "
-          f"{n/max(dt,1e-9):.0f} reads/s", file=sys.stderr)
+    if not args.quiet:
+        summ.print_summary(sys.stderr)
+    print(f"# {n} reads in {dt:.1f}s = {n/max(dt,1e-9):.0f} reads/s",
+          file=sys.stderr)
+    for f in (un_f, al_f):
+        if f:
+            f.close()
     if args.S:
         out.close()
 
@@ -155,6 +211,48 @@ def main(argv=None):
                     help="very-fast|fast|sensitive|very-sensitive[-local]")
     pa.add_argument("--cpu", action="store_true")
     pa.add_argument("--batch", type=int, default=2048)
+    pa.add_argument("-k", dest="khits", type=int, default=1)
+    pa.add_argument("-a", dest="all_hits", action="store_true")
+    pa.add_argument("--nofw", action="store_true")
+    pa.add_argument("--norc", action="store_true")
+    pa.add_argument("--ignore-quals", dest="ignore_quals",
+                    action="store_true")
+    pa.add_argument("--score-min", dest="score_min", default=None)
+    pa.add_argument("-L", dest="seedlen", type=int, default=None)
+    pa.add_argument("-i", dest="ival", default=None)
+    pa.add_argument("-R", dest="rounds", type=int, default=None)
+    pa.add_argument("-5", "--trim5", dest="trim5", type=int, default=0)
+    pa.add_argument("-3", "--trim3", dest="trim3", type=int, default=0)
+    pa.add_argument("-s", "--skip", dest="skip", type=int, default=0)
+    pa.add_argument("-u", "--upto", dest="upto", type=int, default=None)
+    pa.add_argument("-I", "--minins", dest="minins", type=int, default=0)
+    pa.add_argument("-X", "--maxins", dest="maxins", type=int, default=500)
+    pa.add_argument("--fr", dest="orient", action="store_const",
+                    const="FR", default="FR")
+    pa.add_argument("--rf", dest="orient", action="store_const", const="RF")
+    pa.add_argument("--ff", dest="orient", action="store_const", const="FF")
+    pa.add_argument("--no-mixed", dest="no_mixed", action="store_true")
+    pa.add_argument("--no-discordant", dest="no_discordant",
+                    action="store_true")
+    pa.add_argument("--dovetail", action="store_true")
+    pa.add_argument("--no-contain", dest="no_contain", action="store_true")
+    pa.add_argument("--no-overlap", dest="no_overlap", action="store_true")
+    pa.add_argument("--un", default=None)
+    pa.add_argument("--al", default=None)
+    pa.add_argument("--no-unal", dest="no_unal", action="store_true")
+    pa.add_argument("--rg-id", dest="rg_id", default=None)
+    pa.add_argument("--rg", action="append", default=[])
+    pa.add_argument("--met-stderr", dest="met_stderr", action="store_true")
+    pa.add_argument("--met", type=float, default=1.0)
+    pa.add_argument("--quiet", action="store_true")
+    pa.add_argument("-p", "--threads", type=int, default=1,
+                    help="accepted for compatibility (batching replaces "
+                    "thread-level parallelism)")
+    pa.add_argument("--seed", type=int, default=0,
+                    help="accepted for compatibility")
+    pa.add_argument("--reorder", action="store_true",
+                    help="accepted for compatibility (output is always "
+                    "in input order)")
     pa.set_defaults(fn=cmd_align)
 
     pi = sub.add_parser("inspect")

@@ -79,10 +79,13 @@ class PairedPolicy:
 
 class PairedAligner:
     def __init__(self, index, scoring=None, policy: SearchPolicy | None = None,
-                 pe: PairedPolicy | None = None, engine: str = "auto"):
+                 pe: PairedPolicy | None = None, engine: str = "auto",
+                 no_mixed: bool = False, no_discordant: bool = False):
         self.up = UnpairedAligner(index, scoring=scoring, policy=policy,
                                   engine=engine)
         self.pe = pe or PairedPolicy()
+        self.no_mixed = no_mixed        # ref: --no-mixed (gMixedMode off)
+        self.no_discordant = no_discordant  # ref: --no-discordant
 
     # approximate candidate ref start: end - readlen + 1 (exact for
     # ungapped; off by <= #gap bases otherwise — the final classification
@@ -287,11 +290,13 @@ class PairedAligner:
                 r.mate1 = m1
                 r.proper = True
                 r.mate_aligned = True
+                r.pair_multi = len(combos) > 1
             self._set_mate_fields(r1, r2)
             return
         # discordant: both mates align uniquely (ref: ReportingState —
         # discordant only considered with exactly one alignment each)
-        if len(s1) == 1 and len(s2) == 1 and s1 and s2:
+        if not self.no_discordant and len(s1) == 1 and len(s2) == 1 \
+                and s1 and s2:
             ok1 = self.up.finish_candidate(st1, i, s1[0][1], s1[0][0], None)
             ok2 = self.up.finish_candidate(st2, i, s2[0][1], s2[0][0], None)
             if ok1 and ok2:
@@ -311,9 +316,10 @@ class PairedAligner:
                 self._set_mate_fields(r1, r2)
                 return
             r1.aligned = r2.aligned = False
-        # mixed: unpaired selection per mate
-        self.up._select_unpaired(st1, i)
-        self.up._select_unpaired(st2, i)
+        # mixed: unpaired selection per mate (suppressed by --no-mixed)
+        if not self.no_mixed:
+            self.up._select_unpaired(st1, i)
+            self.up._select_unpaired(st2, i)
         for r, m1 in ((r1, True), (r2, False)):
             r.yt = "UP"
             r.paired = True

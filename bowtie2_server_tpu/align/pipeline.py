@@ -80,6 +80,7 @@ class AlnRec:
     xg: int = 0
     xn: int = 0
     yt: str = "UU"
+    secondary: bool = False  # SAM 0x100 (for -k/-a extra records)
     seq: bytes = b""        # aligned-strand sequence (SAM SEQ)
     qual: bytes = b""
     # paired-end fields (ref: aln_sink SAM flag/TLEN assembly)
@@ -92,6 +93,7 @@ class AlnRec:
     mate_pos: int = -1
     tlen: int = 0
     ys: int | None = None
+    pair_multi: bool = False  # pair had >1 concordant combo (summary stat)
 
 
 def revcomp_batch(seqs, quals, lens):
@@ -108,7 +110,10 @@ def revcomp_batch(seqs, quals, lens):
 
 class UnpairedAligner:
     def __init__(self, index: FmIndex, scoring: Scoring | None = None,
-                 policy: SearchPolicy | None = None, engine: str = "auto"):
+                 policy: SearchPolicy | None = None, engine: str = "auto",
+                 nofw: bool = False, norc: bool = False):
+        self.nofw = nofw
+        self.norc = norc
         self.idx = index
         self.sc = scoring or Scoring.default_e2e()
         self.pol = policy or SearchPolicy()
@@ -166,9 +171,12 @@ class UnpairedAligner:
 
     def align_batch(self, batch: ReadBatch) -> list[AlnRec]:
         st = self.collect(batch)
+        out = []
         for i in range(st.B):
-            self._select_unpaired(st, i)
-        return st.recs
+            extras = self._select_unpaired(st, i)
+            out.append(st.recs[i])
+            out.extend(extras)
+        return out
 
     def collect(self, batch: ReadBatch, boost=None, seed_skip=None):
         """Run all candidate-generation + DP stages; return the per-batch
@@ -380,6 +388,11 @@ class UnpairedAligner:
                 np.divide(tot, np.maximum(nonz, 1)) >= 300)
             round_active = round_active & repeat
 
+        if self.nofw or self.norc:
+            # --nofw/--norc (ref: bt2_search.cpp gNofw/gNorc)
+            cand = {c for c in cand
+                    if (c[1] and not self.nofw) or
+                       (not c[1] and not self.norc)}
         if not cand:
             empty_state.seeds_failed_r0 = seeds_failed_r0
             return empty_state
@@ -532,8 +545,14 @@ class UnpairedAligner:
             int(st.lens[i]), bsc, sec, kind, fi, fj, rd, mm, window, wstart,
             int(st.minsc[i]), int(st.perfect[i]), int(st.nceil[i]))
 
-    def _select_unpaired(self, st, i) -> None:
+    def _select_unpaired(self, st, i) -> list:
+        """Fill the read's primary record; with khits > 1 (-k) or -a,
+        also return secondary records (SAM 0x100, MAPQ 255 — ref: -k
+        semantics, ReportingParams khits)."""
         scored = self.scored_candidates(st, i)
+        extras = []
+        primary_done = False
+        k = max(1, self.pol.khits)
         for rank, (bsc, bci) in enumerate(scored):
             sec = None
             if len(scored) > rank + 1:
@@ -541,8 +560,31 @@ class UnpairedAligner:
             elif st.exact_mult[i] > self.pol.max_sa_elts or \
                     (st.exact_mult[i] > 1 and len(scored) == rank + 1):
                 sec = int(st.perfect[i])  # other exact copies exist
-            if self.finish_candidate(st, i, bci, bsc, sec):
+            if not primary_done:
+                if self.finish_candidate(st, i, bci, bsc, sec):
+                    primary_done = True
+                    if k == 1:
+                        break
+                continue
+            if len(extras) + 1 >= k:
                 break
+            rec = AlnRec(name=st.recs[i].name, aligned=False,
+                         seq=st.recs[i].seq if st.recs[i].fw
+                         else st.recs[i].seq, qual=st.recs[i].qual)
+            # use the original-orientation sequence for re-finishing
+            rec.seq, rec.qual = self._orig_seq(st.recs[i])
+            if self.finish_candidate(st, i, bci, bsc, sec, rec=rec):
+                rec.secondary = True
+                rec.mapq = 255
+                extras.append(rec)
+        return extras
+
+    @staticmethod
+    def _orig_seq(rec):
+        if rec.fw:
+            return rec.seq, rec.qual
+        return (dna.decode(dna.revcomp(dna.encode(rec.seq))).encode(),
+                rec.qual[::-1])
 
     def _finish(self, rec: AlnRec, i, is_fw, rl, bsc, sec, kind, bi, bk,
                 rd, mm, window, wstart, msc, per, nc) -> bool:

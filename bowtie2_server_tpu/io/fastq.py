@@ -39,8 +39,12 @@ def _open_maybe_compressed(path):
     return f
 
 
-def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000):
-    """Yield ReadBatch objects from a FASTQ file (optionally gzipped)."""
+def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000,
+               trim5: int = 0, trim3: int = 0, skip: int = 0,
+               upto: int | None = None):
+    """Yield ReadBatch objects from a FASTQ file (optionally gzipped).
+    trim5/trim3: -5/-3 base trimming; skip/upto: -s/-u read windowing
+    (ref: bt2_search.cpp gTrim5/gTrim3, skipReads/qUpto)."""
     if hasattr(path_or_handle, "read"):
         f = path_or_handle
         close = False
@@ -49,6 +53,7 @@ def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000):
         close = True
     try:
         names, seqs, quals = [], [], []
+        n_seen = 0
         while True:
             h = f.readline()
             if not h:
@@ -63,6 +68,15 @@ def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000):
             qual = f.readline().strip()
             if isinstance(seq, str):
                 seq, qual = seq.encode(), qual.encode()
+            n_seen += 1
+            if n_seen <= skip:
+                continue
+            if upto is not None and n_seen > skip + upto:
+                break
+            if trim5 or trim3:
+                end = len(seq) - trim3
+                seq = seq[trim5:end]
+                qual = qual[trim5:end] if qual else qual
             name = h[1:].split()[0].decode() if h.startswith(b"@") else h.decode()
             names.append(name)
             seqs.append(seq[:max_len])

@@ -15,13 +15,20 @@ FLAG_REVERSE = 0x10
 FLAG_MATE_REVERSE = 0x20
 FLAG_MATE1 = 0x40
 FLAG_MATE2 = 0x80
+FLAG_SECONDARY = 0x100
 
 
 def sam_header(ref_names, ref_lens, program_args: str = "",
-               version: str = "2.5.4-tpu") -> str:
+               version: str = "2.5.4-tpu", rg_id: str | None = None,
+               rg_fields: list[str] | None = None) -> str:
     lines = ["@HD\tVN:1.0\tSO:unsorted"]
     for name, ln in zip(ref_names, ref_lens):
         lines.append(f"@SQ\tSN:{name}\tLN:{int(ln)}")
+    if rg_id:
+        rg = f"@RG\tID:{rg_id}"
+        for f in rg_fields or []:
+            rg += "\t" + f
+        lines.append(rg)
     lines.append(
         f"@PG\tID:bowtie2\tPN:bowtie2\tVN:{version}\tCL:\"{program_args}\"")
     return "\n".join(lines) + "\n"
@@ -39,12 +46,15 @@ def _flags(rec: AlnRec) -> int:
             f |= FLAG_MATE_REVERSE
     if not rec.aligned:
         f |= FLAG_UNMAPPED
-    elif not rec.fw:
-        f |= FLAG_REVERSE
+    else:
+        if not rec.fw:
+            f |= FLAG_REVERSE
+        if rec.secondary:
+            f |= FLAG_SECONDARY
     return f
 
 
-def sam_record(rec: AlnRec, ref_names) -> str:
+def sam_record(rec: AlnRec, ref_names, rg_id: str | None = None) -> str:
     seq = rec.seq.decode() if isinstance(rec.seq, bytes) else rec.seq
     qual = rec.qual.decode() if isinstance(rec.qual, bytes) else rec.qual
     if not qual:
@@ -63,6 +73,8 @@ def sam_record(rec: AlnRec, ref_names) -> str:
         if rec.filtered:
             tags.append("YF:Z:NS")
         tags.append(f"YT:Z:{rec.yt}")
+        if rg_id:
+            tags.append(f"RG:Z:{rg_id}")
         return "\t".join([
             rec.name, str(flag), rname, pos, "0", "*", rnext, pnext, "0",
             seq, qual] + tags)
@@ -83,6 +95,8 @@ def sam_record(rec: AlnRec, ref_names) -> str:
     if rec.paired and rec.ys is not None:
         tags.append(f"YS:i:{rec.ys}")
     tags.append(f"YT:Z:{rec.yt}")
+    if rg_id:
+        tags.append(f"RG:Z:{rg_id}")
     return "\t".join([
         rec.name, str(flag), ref_names[rec.ref_id], str(rec.pos + 1),
         str(rec.mapq), rec.cigar, rnext, pnext, tlen, seq, qual] + tags)
