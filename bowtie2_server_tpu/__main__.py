@@ -98,10 +98,41 @@ def cmd_align(args):
             n_aligned += na
             if ticker:
                 ticker.tick(2 * len(pairs), na)
+    elif args.interleaved:
+        from .align.paired import PairedAligner, PairedPolicy
+        from .io.fastq import iter_interleaved
+        pe = PairedPolicy(pol=args.orient, minfrag=args.minins,
+                          maxfrag=args.maxins)
+        pal = PairedAligner(idx, scoring=sc, policy=pol, pe=pe,
+                            no_mixed=args.no_mixed,
+                            no_discordant=args.no_discordant)
+        for b1, b2 in iter_interleaved(args.interleaved,
+                                       batch_size=args.batch):
+            pairs = pal.align_batch(b1, b2)
+            for r1, r2 in pairs:
+                out.write(sam_record(r1, idx.ref_names, args.rg_id) + "\n")
+                out.write(sam_record(r2, idx.ref_names, args.rg_id) + "\n")
+                summ.add_pair(r1, r2)
+            n += 2 * len(pairs)
+            n_aligned += sum(r1.aligned + r2.aligned for r1, r2 in pairs)
     else:
+        from .io.fastq import (iter_cmdline_reads, iter_fasta_reads,
+                               iter_raw_reads, iter_tab_file)
+        if args.cmdline_reads:
+            reads_iter = iter_cmdline_reads(args.cmdline_reads,
+                                            batch_size=args.batch)
+        elif args.fasta_reads:
+            reads_iter = iter_fasta_reads(args.U, **fq_kw)
+        elif args.raw_reads:
+            reads_iter = iter_raw_reads(args.U, batch_size=args.batch)
+        elif args.tab_reads:
+            reads_iter = (b for b, _ in iter_tab_file(
+                args.U, batch_size=args.batch))
+        else:
+            reads_iter = iter_fastq(args.U, **fq_kw)
         al = UnpairedAligner(idx, scoring=sc, policy=pol,
                              nofw=args.nofw, norc=args.norc)
-        for batch in iter_fastq(args.U, **fq_kw):
+        for batch in reads_iter:
             recs = al.align_batch(batch)
             for r in recs:
                 if r.secondary and args.no_unal:
@@ -191,6 +222,57 @@ def cmd_client(args):
         out.close()
 
 
+def cmd_dp(args):
+    """Standalone DP problem solver (ref: bt2_dp.cpp, fed by --dp-log) —
+    reads tab-separated problems `read_seq<TAB>ref_seq` from a file or
+    stdin, scores them with the batched kernels, prints
+    score/end-cell/CIGAR per line. For kernel benchmarking and fuzzing."""
+    if args.cpu:
+        _force_cpu()
+    import numpy as np
+
+    from .align.edits import cigar_md_stats, traceback
+    from .ops.sw import SwConfig, sw_align_batch
+    from .utils import dna
+
+    cfg = SwConfig(ma=2, local=True) if args.local else SwConfig()
+    src = open(args.input) if args.input != "-" else sys.stdin
+    rows = []
+    for line in src:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        rd_s, ref_s = line.split("\t")[:2]
+        rows.append((dna.encode(rd_s), dna.encode(ref_s)))
+    if not rows:
+        return
+    lq = max(len(r) for r, _ in rows)
+    lc = max(len(f) for _, f in rows)
+    B = len(rows)
+    rd = np.full((B, lq), 5, np.uint8)
+    ref = np.full((B, lc), 4, np.uint8)
+    lens = np.zeros(B, np.int32)
+    reflens = np.zeros(B, np.int32)
+    for i, (r, f) in enumerate(rows):
+        rd[i, :len(r)] = r
+        ref[i, :len(f)] = f
+        lens[i] = len(r)
+        reflens[i] = len(f)
+    mm = np.full((B, lq), 6, np.int32)
+    best, bi, bj = sw_align_batch(rd, lens, mm, ref, reflens, cfg)
+    for i in range(B):
+        r, f = rows[i]
+        try:
+            edits, start, rs = traceback(r, mm[i, :len(r)], f, cfg,
+                                         int(bi[i]), int(bj[i]))
+            st = cigar_md_stats(len(r), edits, rs, int(bi[i]) + 1)
+            cig, md = st["cigar"], st["md"]
+        except Exception:
+            cig = md = "?"
+        print(f"{int(best[i])}\t{int(bi[i])}\t{int(bj[i])}\t{start}\t"
+              f"{cig}\t{md}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bowtie2_server_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -253,6 +335,16 @@ def main(argv=None):
     pa.add_argument("--reorder", action="store_true",
                     help="accepted for compatibility (output is always "
                     "in input order)")
+    pa.add_argument("-f", dest="fasta_reads", action="store_true",
+                    help="reads are FASTA")
+    pa.add_argument("-r", dest="raw_reads", action="store_true",
+                    help="reads are raw one-per-line")
+    pa.add_argument("-c", dest="cmdline_reads", default=None,
+                    help="comma-separated reads on the command line")
+    pa.add_argument("--tab5", "--tab6", dest="tab_reads",
+                    action="store_true", help="reads are tab5/tab6")
+    pa.add_argument("--interleaved", default=None,
+                    help="interleaved paired FASTQ file")
     pa.set_defaults(fn=cmd_align)
 
     pi = sub.add_parser("inspect")
@@ -280,6 +372,12 @@ def main(argv=None):
     pc.add_argument("-2", dest="m2", default=None)
     pc.add_argument("-S", dest="S", default=None)
     pc.set_defaults(fn=cmd_client)
+
+    pd = sub.add_parser("dp")
+    pd.add_argument("input", nargs="?", default="-")
+    pd.add_argument("--local", action="store_true")
+    pd.add_argument("--cpu", action="store_true")
+    pd.set_defaults(fn=cmd_dp)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -139,3 +139,117 @@ def iter_tab6(lines_iter, batch_size: int = 4096):
     if n1:
         yield (make_batch(n1, s1, q1),
                make_batch(n2, s2, q2) if paired else None)
+
+
+def iter_fasta_reads(path, batch_size: int = 4096, trim5=0, trim3=0,
+                     skip=0, upto=None):
+    """FASTA read input (-f; ref: pat.h:778 FastaPatternSource)."""
+    f = _open_maybe_compressed(path)
+    names, seqs, quals = [], [], []
+    name, parts, n_seen = None, [], 0
+
+    def flush_read():
+        nonlocal n_seen
+        if name is None:
+            return False
+        n_seen += 1
+        if n_seen <= skip or (upto is not None and n_seen > skip + upto):
+            return False
+        seq = b"".join(parts)
+        end = len(seq) - trim3
+        seq = seq[trim5:end]
+        names.append(name)
+        seqs.append(seq)
+        quals.append(b"I" * len(seq))
+        return True
+
+    out = []
+    with f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                flush_read()
+                if len(names) >= batch_size:
+                    out.append(make_batch(names, seqs, quals))
+                    names, seqs, quals = [], [], []
+                name = line[1:].split()[0].decode()
+                parts = []
+            else:
+                parts.append(line)
+        flush_read()
+    if names:
+        out.append(make_batch(names, seqs, quals))
+    yield from out
+
+
+def iter_raw_reads(path, batch_size: int = 4096, **kw):
+    """Raw one-sequence-per-line input (-r; ref: pat.h:1186)."""
+    f = _open_maybe_compressed(path)
+    names, seqs, quals = [], [], []
+    with f:
+        for i, line in enumerate(f):
+            seq = line.strip()
+            if not seq:
+                continue
+            names.append(str(i))
+            seqs.append(seq)
+            quals.append(b"I" * len(seq))
+            if len(names) >= batch_size:
+                yield make_batch(names, seqs, quals)
+                names, seqs, quals = [], [], []
+    if names:
+        yield make_batch(names, seqs, quals)
+
+
+def iter_cmdline_reads(csv: str, batch_size: int = 4096, **kw):
+    """Comma-separated reads given on the command line (-c; ref: pat.h:304)."""
+    seqs = [s.strip().encode() for s in csv.split(",") if s.strip()]
+    names = [str(i) for i in range(len(seqs))]
+    quals = [b"I" * len(s) for s in seqs]
+    for i in range(0, len(seqs), batch_size):
+        yield make_batch(names[i:i+batch_size], seqs[i:i+batch_size],
+                         quals[i:i+batch_size])
+
+
+def iter_tab_file(path, batch_size: int = 4096, **kw):
+    """tab5/tab6 file input (--tab5/--tab6; ref: pat.h:843)."""
+    f = _open_maybe_compressed(path)
+    with f:
+        yield from iter_tab6(f, batch_size=batch_size)
+
+
+def iter_interleaved(path, batch_size: int = 4096, **kw):
+    """Interleaved paired FASTQ (--interleaved; ref: pat.cpp composer).
+    Yields (batch1, batch2) pairs."""
+    n1, s1, q1, n2, s2, q2 = [], [], [], [], [], []
+    f = _open_maybe_compressed(path)
+    with f:
+        rec = []
+        which = 0
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            h = h.strip()
+            if not h:
+                continue
+            seq = f.readline().strip()
+            f.readline()
+            qual = f.readline().strip()
+            name = h[1:].split()[0].decode()
+            if name.endswith("/1") or name.endswith("/2"):
+                name = name[:-2]
+            if which == 0:
+                n1.append(name); s1.append(seq); q1.append(qual)
+                which = 1
+            else:
+                n2.append(name); s2.append(seq); q2.append(qual)
+                which = 0
+                if len(n2) >= batch_size:
+                    yield (make_batch(n1, s1, q1), make_batch(n2, s2, q2))
+                    n1, s1, q1, n2, s2, q2 = [], [], [], [], [], []
+    if n2:
+        yield (make_batch(n1[:len(n2)], s1[:len(n2)], q1[:len(n2)]),
+               make_batch(n2, s2, q2))

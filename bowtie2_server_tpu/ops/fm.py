@@ -27,20 +27,21 @@ import numpy as np
 from ..index.fm import FTAB_CHARS, OCC_BLOCK, FmDirection
 
 
-# Device occ layout: 2-bit packed BWT (16 bases/u32 word, 4 words per
-# 64-row block) + a checkpoint every DEV_OCC_BLOCK rows. An occ query
-# gathers 1 checkpoint word + 4 BWT words per lane and counts matches with
-# XOR/popcount bit tricks — ~14x faster on TPU than gathering byte blocks
-# (mirrors the reference's 2-bit "sides" + popcount LUT, bt2_idx.h:112-166,
-# ccnt_lut.cpp, re-derived for 32-bit lanes + jax.lax.population_count).
-DEV_OCC_BLOCK = 64
+# Device occ layout: fused 64-byte "sides", one per 128-row block:
+# [cntA, cntC, cntG, cntT, w0..w7, pad x4] as 16 uint32 — checkpoint counts
+# followed by the block's 2-bit packed BWT (16 bases/word, little-endian).
+# An occ query is ONE row gather (TPU gathers cost per index, not per byte,
+# so fetching the whole side costs the same as one element) + XOR/popcount
+# counting. This is the reference's side layout (bt2_idx.h:112-166,
+# ccnt_lut.cpp) re-derived for 32-bit lanes + jax.lax.population_count.
+DEV_OCC_BLOCK = 128
+_SIDE_W = 16
 _PAIR_MASK = 0x55555555
 
 
 class DeviceFm(NamedTuple):
     """Device-resident arrays of one FM direction (a JAX pytree)."""
-    bwt32: jax.Array     # [n_words] uint32: 2-bit packed BWT, little-endian
-    occ: jax.Array       # [n_blocks+1, 4] uint32 checkpoints (per 64 rows)
+    side: jax.Array      # [n_blocks+1, 16] uint32 fused sides (see above)
     cnt: jax.Array       # [4] int32 C-array
     sa: jax.Array        # [n] uint32 (full suffix array)
     ftab_top: jax.Array  # [4^k] uint32
@@ -59,7 +60,8 @@ def to_device(d: FmDirection, device=None) -> DeviceFm:
     codes[hole] = 0
     words = (codes.reshape(-1, 16) << (2 * np.arange(16, dtype=np.uint32))
              ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
-    # checkpoints every 64 rows from the byte BWT (hole not counted)
+    words = words.reshape(n_blocks + 1, 8)
+    # checkpoint counts at block starts, from the byte BWT (hole uncounted)
     onehot = np.zeros((n_pad, 4), np.uint32)
     valid = np.zeros(n_pad, bool)
     valid[:n] = d.bwt < 4
@@ -67,12 +69,14 @@ def to_device(d: FmDirection, device=None) -> DeviceFm:
     onehot[idx, d.bwt[idx]] = 1
     per_block = onehot.reshape(n_blocks + 1, DEV_OCC_BLOCK, 4).sum(
         axis=1, dtype=np.uint64)
-    occ = np.zeros((n_blocks + 2, 4), np.uint32)
-    occ[1:] = np.cumsum(per_block, axis=0).astype(np.uint32)
+    ckpt = np.zeros((n_blocks + 1, 4), np.uint32)
+    ckpt[1:] = np.cumsum(per_block[:-1], axis=0).astype(np.uint32)
+    side = np.zeros((n_blocks + 1, _SIDE_W), np.uint32)
+    side[:, :4] = ckpt
+    side[:, 4:12] = words
     put = lambda x: jax.device_put(x, device)
     return DeviceFm(
-        bwt32=put(words),
-        occ=put(occ),
+        side=put(side),
         cnt=put(d.cnt[:4].astype(np.int32)),
         sa=put(d.sa.astype(np.uint32)),
         ftab_top=put(d.ftab_top),
@@ -85,17 +89,20 @@ def to_device(d: FmDirection, device=None) -> DeviceFm:
 def occ_batch(fm: DeviceFm, c: jax.Array, rows: jax.Array) -> jax.Array:
     """Batched occ(c, row): #occurrences of c in bwt[0:row].
 
-    c: [B] int32 in 0..3; rows: [B] int32 -> [B] int32
+    c: [B] int32 in 0..3; rows: [B] int32 -> [B] int32. One side gather.
     """
     blk = rows // DEV_OCC_BLOCK
     rem = rows % DEV_OCC_BLOCK
-    base = fm.occ[blk, c].astype(jnp.int32)                    # [B]
-    offs = blk[:, None] * 4 + jnp.arange(4)[None, :]
-    words = fm.bwt32[offs]                                     # [B, 4] u32
-    pat = (c.astype(jnp.uint32) * jnp.uint32(_PAIR_MASK))[:, None]
+    side = fm.side[blk]                                        # [B, 16] u32
+    cu = c.astype(jnp.uint32)[:, None]
+    js = jnp.arange(4, dtype=jnp.uint32)[None, :]
+    base = jnp.sum(jnp.where(js == cu, side[:, :4], jnp.uint32(0)),
+                   axis=1).astype(jnp.int32)
+    words = side[:, 4:12]                                      # [B, 8]
+    pat = cu * jnp.uint32(_PAIR_MASK)
     x = words ^ pat
     nonmatch = (x | (x >> 1)) & jnp.uint32(_PAIR_MASK)
-    rem_w = jnp.clip(rem[:, None] - jnp.arange(4)[None, :] * 16, 0, 16)
+    rem_w = jnp.clip(rem[:, None] - jnp.arange(8)[None, :] * 16, 0, 16)
     mask = jnp.where(
         rem_w >= 16, jnp.uint32(0xFFFFFFFF),
         (jnp.uint32(1) << (2 * rem_w).astype(jnp.uint32)) - jnp.uint32(1))
