@@ -118,7 +118,10 @@ def cmd_align(args):
     else:
         from .io.fastq import (iter_cmdline_reads, iter_fasta_reads,
                                iter_raw_reads, iter_tab_file)
-        if args.cmdline_reads:
+        if args.bam:
+            from .io.bam import iter_bam
+            reads_iter = iter_bam(args.U, batch_size=args.batch)
+        elif args.cmdline_reads:
             reads_iter = iter_cmdline_reads(args.cmdline_reads,
                                             batch_size=args.batch)
         elif args.fasta_reads:
@@ -345,6 +348,8 @@ def main(argv=None):
                     action="store_true", help="reads are tab5/tab6")
     pa.add_argument("--interleaved", default=None,
                     help="interleaved paired FASTQ file")
+    pa.add_argument("-b", "--bam", action="store_true",
+                    help="reads are in BAM format")
     pa.set_defaults(fn=cmd_align)
 
     pi = sub.add_parser("inspect")

@@ -30,12 +30,23 @@ class ReadBatch:
 
 
 def _open_maybe_compressed(path):
+    """Auto-detect gzip/zstd/bz2 by magic bytes (ref: pat.h:510-548 gzip
+    and zstd auto-detection)."""
     p = str(path)
     f = open(p, "rb")
-    magic = f.read(2)
+    magic = f.read(4)
     f.seek(0)
-    if magic == b"\x1f\x8b":
+    if magic[:2] == b"\x1f\x8b":
         return gzip.open(f)
+    if magic == b"\x28\xb5\x2f\xfd":
+        import io as _io
+
+        import zstandard
+        return _io.BufferedReader(
+            zstandard.ZstdDecompressor().stream_reader(f))
+    if magic[:3] == b"BZh":
+        import bz2
+        return bz2.open(f)
     return f
 
 

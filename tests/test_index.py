@@ -150,3 +150,49 @@ def test_native_sais_matches_doubling(rng):
         np.testing.assert_array_equal(got, naive_suffix_array(t))
     t = dna.encode("ACGT" * 300 + "A" * 100 + "ACGT" * 300)
     np.testing.assert_array_equal(sais(t), naive_suffix_array(t))
+
+
+def test_compressed_and_bam_inputs(tmp_path):
+    """gzip/zstd/bz2 auto-detect + BAM read extraction."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import struct, zlib
+
+    import zstandard
+
+    from bowtie2_server_tpu.io.bam import iter_bam
+    from bowtie2_server_tpu.io.fastq import iter_fastq
+    data = b"@q1\nACGTACGT\n+\nIIIIIIII\n@q2\nTTTTAAAA\n+\nFFFFFFFF\n"
+    for name, comp in (("a.gz", _gzip.compress),
+                       ("a.bz2", _bz2.compress),
+                       ("a.zst", zstandard.ZstdCompressor().compress)):
+        f = tmp_path / name
+        f.write_bytes(comp(data))
+        b = next(iter_fastq(f, batch_size=10))
+        assert b.names == ["q1", "q2"]
+
+    def bgzf_block(d):
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cd = c.compress(d) + c.flush()
+        out = struct.pack("<BBBBIBBH", 0x1f, 0x8b, 8, 4, 0, 0, 0xff, 6)
+        out += struct.pack("<BBHH", 66, 67, 2, len(cd) + 25)
+        out += cd + struct.pack("<II", zlib.crc32(d) & 0xffffffff, len(d))
+        return out
+
+    SEQ4 = "=ACMGRSVTWYHKDBN"
+    def rec(name, seq):
+        s4 = bytes((SEQ4.index(seq[i]) << 4) |
+                   (SEQ4.index(seq[i + 1]) if i + 1 < len(seq) else 0)
+                   for i in range(0, len(seq), 2))
+        r = struct.pack("<iiBBHHHiiii", -1, -1, len(name) + 1, 0, 0, 0, 4,
+                        len(seq), -1, -1, 0)
+        r += name.encode() + b"\0" + s4 + bytes([40] * len(seq))
+        return struct.pack("<i", len(r)) + r
+
+    hdr = b"BAM\x01" + struct.pack("<ii", 0, 0)
+    bam = tmp_path / "t.bam"
+    bam.write_bytes(bgzf_block(hdr + rec("x1", "ACGT") + rec("x2", "GGCC"))
+                    + bgzf_block(b""))
+    b = next(iter_bam(bam))
+    assert b.names == ["x1", "x2"]
+    assert b.raw_seq == [b"ACGT", b"GGCC"]
