@@ -53,6 +53,13 @@ def make_workload(tmp: Path):
 def main():
     tmp = Path("tmp")
     tmp.mkdir(exist_ok=True)
+    # persistent compile cache: the first-ever run pays the (slow) axon
+    # compile; subsequent runs (including the driver's) start warm
+    import jax
+    cache = tmp / "jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     fa, names, seqs, quals = make_workload(tmp)
 
     from bowtie2_server_tpu.align.pipeline import UnpairedAligner

@@ -20,6 +20,20 @@ def _force_cpu():
     jax.config.update("jax_platforms", "cpu")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — the fused-side gathers compile
+    slowly on the axon backend (~minutes); caching makes reruns fast."""
+    import jax
+    from pathlib import Path
+    d = Path("tmp/jax_cache")
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(d))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def cmd_build(args):
     from .index.build import build_index
     t0 = time.time()
@@ -32,6 +46,7 @@ def cmd_build(args):
 def cmd_align(args):
     if args.cpu:
         _force_cpu()
+    _enable_compile_cache()
     from dataclasses import replace
 
     from .align.pipeline import SearchPolicy, UnpairedAligner
@@ -87,17 +102,34 @@ def cmd_align(args):
         pal.up.nofw, pal.up.norc = args.nofw, args.norc
         it1 = iter_fastq(args.m1, **fq_kw)
         it2 = iter_fastq(args.m2, **fq_kw)
+        unc_f = [open(args.un_conc.replace("%", str(m)), "w")
+                 for m in (1, 2)] if args.un_conc else None
+        alc_f = [open(args.al_conc.replace("%", str(m)), "w")
+                 for m in (1, 2)] if args.al_conc else None
         for b1, b2 in zip(it1, it2):
             pairs = pal.align_batch(b1, b2)
             for r1, r2 in pairs:
-                out.write(sam_record(r1, idx.ref_names, args.rg_id) + "\n")
-                out.write(sam_record(r2, idx.ref_names, args.rg_id) + "\n")
+                if not (args.no_unal and not r1.aligned and not r2.aligned):
+                    out.write(sam_record(r1, idx.ref_names, args.rg_id)
+                              + "\n")
+                    out.write(sam_record(r2, idx.ref_names, args.rg_id)
+                              + "\n")
                 summ.add_pair(r1, r2)
+                # --un-conc/--al-conc: route pairs by concordance
+                # (ref: bowtie2-server wrapper:489-626 output demux)
+                if unc_f and not r1.proper:
+                    write_fq(unc_f[0], r1)
+                    write_fq(unc_f[1], r2)
+                if alc_f and r1.proper:
+                    write_fq(alc_f[0], r1)
+                    write_fq(alc_f[1], r2)
             n += 2 * len(pairs)
             na = sum(r1.aligned + r2.aligned for r1, r2 in pairs)
             n_aligned += na
             if ticker:
                 ticker.tick(2 * len(pairs), na)
+        for fl in (unc_f or []) + (alc_f or []):
+            fl.close()
     elif args.interleaved:
         from .align.paired import PairedAligner, PairedPolicy
         from .io.fastq import iter_interleaved
@@ -138,9 +170,9 @@ def cmd_align(args):
         for batch in reads_iter:
             recs = al.align_batch(batch)
             for r in recs:
-                if r.secondary and args.no_unal:
-                    pass
-                out.write(sam_record(r, idx.ref_names, args.rg_id) + "\n")
+                if not (args.no_unal and not r.aligned):
+                    out.write(sam_record(r, idx.ref_names, args.rg_id)
+                              + "\n")
                 if not r.secondary:
                     summ.add_unpaired(r)
                     if un_f and not r.aligned:
@@ -193,6 +225,7 @@ def cmd_inspect(args):
 def cmd_server(args):
     if args.cpu:
         _force_cpu()
+    _enable_compile_cache()
     from .server.bt2srv import run_server
     run_server(args.index, port=args.port, host=args.host, local=args.local,
                preset=args.preset, batch_size=args.batch)
@@ -324,6 +357,11 @@ def main(argv=None):
     pa.add_argument("--no-overlap", dest="no_overlap", action="store_true")
     pa.add_argument("--un", default=None)
     pa.add_argument("--al", default=None)
+    pa.add_argument("--un-conc", dest="un_conc", default=None,
+                    help="write non-concordant pairs to files (use %% for "
+                    "the mate number)")
+    pa.add_argument("--al-conc", dest="al_conc", default=None,
+                    help="write concordant pairs to files")
     pa.add_argument("--no-unal", dest="no_unal", action="store_true")
     pa.add_argument("--rg-id", dest="rg_id", default=None)
     pa.add_argument("--rg", action="append", default=[])
