@@ -167,6 +167,10 @@ def cmd_align(args):
             reads_iter = iter_fastq(args.U, **fq_kw)
         al = UnpairedAligner(idx, scoring=sc, policy=pol,
                              nofw=args.nofw, norc=args.norc)
+        if args.dp_log:
+            al.dp_log = open(args.dp_log, "w")
+        if args.timing:
+            al.timing = {}
         for batch in reads_iter:
             recs = al.align_batch(batch)
             for r in recs:
@@ -186,6 +190,12 @@ def cmd_align(args):
             if ticker:
                 ticker.tick(len(prim), na)
     dt = time.time() - t0
+    if args.timing:
+        # ref: timer.h Timer blocks gated by -t/--time
+        tdict = getattr(locals().get("al", None), "timing", None) or {}
+        for k, v in tdict.items():
+            print(f"Time {k}: {v:.2f}s", file=sys.stderr)
+        print(f"Overall time: {dt:.2f}s", file=sys.stderr)
     if not args.quiet:
         summ.print_summary(sys.stderr)
     print(f"# {n} reads in {dt:.1f}s = {n/max(dt,1e-9):.0f} reads/s",
@@ -368,6 +378,11 @@ def main(argv=None):
     pa.add_argument("--met-stderr", dest="met_stderr", action="store_true")
     pa.add_argument("--met", type=float, default=1.0)
     pa.add_argument("--quiet", action="store_true")
+    pa.add_argument("-t", "--time", dest="timing", action="store_true",
+                    help="print stage wall-clock times")
+    pa.add_argument("--dp-log", dest="dp_log", default=None,
+                    help="log DP problems (replayable with the dp "
+                    "subcommand)")
     pa.add_argument("-p", "--threads", type=int, default=1,
                     help="accepted for compatibility (batching replaces "
                     "thread-level parallelism)")

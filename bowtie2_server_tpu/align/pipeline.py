@@ -129,6 +129,8 @@ class UnpairedAligner:
             rdg_open=self.sc.read_gap_open, rdg_ext=self.sc.read_gap_extend,
             rfg_open=self.sc.ref_gap_open, rfg_ext=self.sc.ref_gap_extend,
             gapbar=self.sc.gapbar, local=self.sc.local)
+        self.dp_log = None   # file handle: log DP problems (ref: --dp-log)
+        self.timing = None   # dict: stage wall-clock accumulation (ref: -t)
 
     # ---- seed schedule (ref: bt2_search.cpp:3848-3870, aligner_seed.cpp:498)
 
@@ -449,6 +451,8 @@ class UnpairedAligner:
             return (seqs[i, :rl],
                     mmtab[np.clip(quals[i, :rl], 0, 255)].astype(np.int32), rl)
 
+        import time as _time
+        _t0 = _time.time()
         if band_ids:
             nb = len(band_ids)
             rd_m = np.full((nb, L), 5, np.uint8)
@@ -503,6 +507,19 @@ class UnpairedAligner:
                 end_joined[ci] = wl + int(r_bj[ri])
                 fin_info[ci] = ("rect", int(r_bi[ri]), int(r_bj[ri]),
                                 ref_m[ri, : wr - wl], wl)
+
+        if self.timing is not None:
+            self.timing["dp"] = self.timing.get("dp", 0.0) + \
+                (_time.time() - _t0)
+        if self.dp_log is not None:
+            from ..utils import dna as _dna
+            for ci, (i, is_fw, diag) in enumerate(cands):
+                if fin_info[ci] is None:
+                    continue
+                rd, mm, rl = read_arrays(ci)
+                window = fin_info[ci][3]
+                self.dp_log.write(_dna.decode(rd[:rl]) + "\t"
+                                  + _dna.decode(window) + "\n")
 
         # -- package per-batch state --
         from types import SimpleNamespace
