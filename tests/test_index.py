@@ -196,3 +196,17 @@ def test_compressed_and_bam_inputs(tmp_path):
     b = next(iter_bam(bam))
     assert b.names == ["x1", "x2"]
     assert b.raw_seq == [b"ACGT", b"GGCC"]
+
+
+def test_graft_entry_and_multichip_dryrun():
+    """The driver's entry points: jittable single-chip step + 8-device
+    sharded step on the virtual CPU mesh."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import jax
+
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (128,)
+    g.dryrun_multichip(8)
