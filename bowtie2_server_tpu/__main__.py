@@ -57,8 +57,14 @@ def cmd_align(args):
     from .utils.presets import preset_params
     from .utils.simple_func import SimpleFunc
 
-    _, loader = detect_index(args.index)
-    idx = loader(args.index)
+    if args.ref_string:
+        # --ref-string: build a throwaway index from the given sequence
+        # (ref: bowtie2-server wrapper:430-443)
+        from .index.build import build_index
+        idx = build_index(f">ref_string\n{args.ref_string}\n")
+    else:
+        _, loader = detect_index(args.index)
+        idx = loader(args.index)
     sc, polkw = preset_params(args.preset, args.local)
     if args.ignore_quals:
         sc = sc.with_ignore_quals()
@@ -79,7 +85,9 @@ def cmd_align(args):
     un_f = open(args.un, "w") if args.un else None
     al_f = open(args.al, "w") if args.al else None
     summ = AlnSummary()
-    ticker = PerfTicker(interval=args.met) if args.met_stderr else None
+    met_fh = open(args.met_file, "w") if args.met_file else sys.stderr
+    ticker = PerfTicker(interval=args.met, out=met_fh) \
+        if (args.met_stderr or args.met_file) else None
     t0 = time.time()
     n = n_aligned = 0
     fq_kw = dict(batch_size=args.batch, trim5=args.trim5, trim3=args.trim3,
@@ -321,6 +329,9 @@ def cmd_dp(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="bowtie2_server_tpu")
+    p.add_argument("--version", action="version",
+                   version="bowtie2_server_tpu 0.1.0 (capabilities of "
+                   "bowtie2-server 2.5.4)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pb = sub.add_parser("build")
@@ -329,7 +340,8 @@ def main(argv=None):
     pb.set_defaults(fn=cmd_build)
 
     pa = sub.add_parser("align")
-    pa.add_argument("-x", dest="index", required=True)
+    pa.add_argument("-x", dest="index", default=None)
+    pa.add_argument("--ref-string", dest="ref_string", default=None)
     pa.add_argument("-U", dest="U", default=None)
     pa.add_argument("-1", dest="m1", default=None)
     pa.add_argument("-2", dest="m2", default=None)
@@ -376,6 +388,7 @@ def main(argv=None):
     pa.add_argument("--rg-id", dest="rg_id", default=None)
     pa.add_argument("--rg", action="append", default=[])
     pa.add_argument("--met-stderr", dest="met_stderr", action="store_true")
+    pa.add_argument("--met-file", dest="met_file", default=None)
     pa.add_argument("--met", type=float, default=1.0)
     pa.add_argument("--quiet", action="store_true")
     pa.add_argument("-t", "--time", dest="timing", action="store_true",
