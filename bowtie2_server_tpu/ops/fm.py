@@ -27,15 +27,15 @@ import numpy as np
 from ..index.fm import FTAB_CHARS, OCC_BLOCK, FmDirection
 
 
-# Device occ layout: fused 64-byte "sides", one per 128-row block:
-# [cntA, cntC, cntG, cntT, w0..w7, pad x4] as 16 uint32 — checkpoint counts
-# followed by the block's 2-bit packed BWT (16 bases/word, little-endian).
+# Device occ layout: fused 32-byte "sides", one per 64-row block:
+# [cntA, cntC, cntG, cntT, w0..w3] as 8 uint32 — checkpoint counts followed
+# by the block's 2-bit packed BWT (16 bases/word, little-endian).
 # An occ query is ONE row gather (TPU gathers cost per index, not per byte,
 # so fetching the whole side costs the same as one element) + XOR/popcount
 # counting. This is the reference's side layout (bt2_idx.h:112-166,
 # ccnt_lut.cpp) re-derived for 32-bit lanes + jax.lax.population_count.
-DEV_OCC_BLOCK = 128
-_SIDE_W = 16
+DEV_OCC_BLOCK = 64
+_SIDE_W = 8
 _PAIR_MASK = 0x55555555
 
 
@@ -60,7 +60,7 @@ def to_device(d: FmDirection, device=None) -> DeviceFm:
     codes[hole] = 0
     words = (codes.reshape(-1, 16) << (2 * np.arange(16, dtype=np.uint32))
              ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
-    words = words.reshape(n_blocks + 1, 8)
+    words = words.reshape(n_blocks + 1, 4)
     # checkpoint counts at block starts, from the byte BWT (hole uncounted)
     onehot = np.zeros((n_pad, 4), np.uint32)
     valid = np.zeros(n_pad, bool)
@@ -73,7 +73,7 @@ def to_device(d: FmDirection, device=None) -> DeviceFm:
     ckpt[1:] = np.cumsum(per_block[:-1], axis=0).astype(np.uint32)
     side = np.zeros((n_blocks + 1, _SIDE_W), np.uint32)
     side[:, :4] = ckpt
-    side[:, 4:12] = words
+    side[:, 4:8] = words
     put = lambda x: jax.device_put(x, device)
     return DeviceFm(
         side=put(side),
@@ -98,11 +98,11 @@ def occ_batch(fm: DeviceFm, c: jax.Array, rows: jax.Array) -> jax.Array:
     js = jnp.arange(4, dtype=jnp.uint32)[None, :]
     base = jnp.sum(jnp.where(js == cu, side[:, :4], jnp.uint32(0)),
                    axis=1).astype(jnp.int32)
-    words = side[:, 4:12]                                      # [B, 8]
+    words = side[:, 4:8]                                       # [B, 4]
     pat = cu * jnp.uint32(_PAIR_MASK)
     x = words ^ pat
     nonmatch = (x | (x >> 1)) & jnp.uint32(_PAIR_MASK)
-    rem_w = jnp.clip(rem[:, None] - jnp.arange(8)[None, :] * 16, 0, 16)
+    rem_w = jnp.clip(rem[:, None] - jnp.arange(4)[None, :] * 16, 0, 16)
     mask = jnp.where(
         rem_w >= 16, jnp.uint32(0xFFFFFFFF),
         (jnp.uint32(1) << (2 * rem_w).astype(jnp.uint32)) - jnp.uint32(1))
