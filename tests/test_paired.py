@@ -76,3 +76,35 @@ def test_paired_parity_lambda():
     full = sum(all(golden[k][f] == mine[k][f] for f in FIELDS)
                for k in golden)
     assert full >= 0.98 * len(golden), f"only {full}/{len(golden)}"
+
+
+def test_paired_local_parity_lambda():
+    from bowtie2_server_tpu.align.paired import PairedAligner
+    from bowtie2_server_tpu.align.pipeline import SearchPolicy
+    from bowtie2_server_tpu.index.build import build_index
+    from bowtie2_server_tpu.io.fastq import iter_fastq
+    from bowtie2_server_tpu.io.sam import sam_record
+    from bowtie2_server_tpu.utils.presets import preset_params
+    idx = build_index("/root/reference/example/reference/lambda_virus.fa")
+    sc, polkw = preset_params(None, True)
+    pal = PairedAligner(idx, scoring=sc, policy=SearchPolicy(**polkw),
+                        engine="xla")
+    b1 = next(iter_fastq(DATA / "reads1_300.fq", batch_size=300))
+    b2 = next(iter_fastq(DATA / "reads2_300.fq", batch_size=300))
+    pairs = pal.align_batch(b1, b2)
+    mine = {}
+    for r1, r2 in pairs:
+        for r in (r1, r2):
+            f = sam_record(r, idx.ref_names).split("\t")
+            tags = {t.split(":")[0]: t.split(":", 2)[2] for t in f[11:]}
+            mine[(f[0], 1 if int(f[1]) & 0x40 else 2)] = dict(
+                flag=int(f[1]), pos=int(f[3]), mapq=int(f[4]), cigar=f[5],
+                rnext=f[6], pnext=int(f[7]), tlen=int(f[8]),
+                AS=tags.get("AS"), NM=tags.get("NM"), MD=tags.get("MD"),
+                YS=tags.get("YS"), YT=tags.get("YT"))
+    golden = _parse(DATA / "golden_paired_local_600.sam", server=True)
+    assert set(golden) == set(mine)
+    full = sum(all(golden[k][f] == mine[k][f] for f in FIELDS)
+               for k in golden)
+    # paired local currently ~97% on the full set; assert a safe floor
+    assert full >= 0.94 * len(golden), f"only {full}/{len(golden)}"
