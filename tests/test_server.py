@@ -140,3 +140,31 @@ def test_reference_client_wire_compat(server):
     assert len(lines) == 25
     aligned = sum(1 for l in lines if int(l.split("\t")[1]) & 4 == 0)
     assert aligned == 25
+
+
+@pytest.mark.skipif(not REF_CLIENT.exists(),
+                    reason="reference client binary not built")
+def test_reference_client_paired_wire_compat(server):
+    port, idx = server
+    from bowtie2_server_tpu.utils import dna
+    rng = np.random.default_rng(14)
+    f1, f2 = Path("tmp/wire_p1.fq"), Path("tmp/wire_p2.fq")
+    with open(f1, "w") as a, open(f2, "w") as b:
+        for i in range(10):
+            s = int(rng.integers(0, idx.n - 400))
+            m1 = dna.decode(idx.joined[s : s + 80])
+            m2 = dna.decode(dna.revcomp(idx.joined[s + 220 : s + 300]))
+            a.write(f"@wp{i}\n{m1}\n+\n{'I'*80}\n")
+            b.write(f"@wp{i}\n{m2}\n+\n{'I'*80}\n")
+    out = Path("tmp/wire_paired_out.sam")
+    r = subprocess.run(
+        [str(REF_CLIENT), "-x", "tmp/lambda", "--server-host", "localhost",
+         "--server-port", str(port), "-1", str(f1), "-2", str(f2),
+         "-S", str(out)],
+        capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(lines) == 20
+    for l in lines:
+        f = l.split("\t")
+        assert int(f[1]) & 0x2, l  # all concordant
