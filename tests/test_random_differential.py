@@ -47,7 +47,12 @@ def test_random_genome_roundtrip(tmp_path, local, rng):
     n_badpos = n_invalid = 0
     for rec, s in zip(recs, truth):
         assert rec.aligned, rec.name
-        if rec.pos != s:
+        # local mode may soft-clip mutated read ends, legitimately shifting
+        # POS; compare the unclipped start instead
+        import re
+        m = re.match(r"(\d+)S", rec.cigar)
+        lead = int(m.group(1)) if m else 0
+        if rec.pos - lead != s:
             n_badpos += 1
         fields = sam_record(rec, idx.ref_names).split("\t")
         errs = validate_record(fields, refs, sc)
