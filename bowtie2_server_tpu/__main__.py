@@ -108,8 +108,9 @@ def cmd_align(args):
                             no_mixed=args.no_mixed,
                             no_discordant=args.no_discordant)
         pal.up.nofw, pal.up.norc = args.nofw, args.norc
-        it1 = iter_fastq(args.m1, **fq_kw)
-        it2 = iter_fastq(args.m2, **fq_kw)
+        from .io.fastq import prefetch
+        it1 = prefetch(iter_fastq(args.m1, **fq_kw))
+        it2 = prefetch(iter_fastq(args.m2, **fq_kw))
         unc_f = [open(args.un_conc.replace("%", str(m)), "w")
                  for m in (1, 2)] if args.un_conc else None
         alc_f = [open(args.al_conc.replace("%", str(m)), "w")
@@ -179,7 +180,8 @@ def cmd_align(args):
             al.dp_log = open(args.dp_log, "w")
         if args.timing:
             al.timing = {}
-        for batch in reads_iter:
+        from .io.fastq import prefetch
+        for batch in prefetch(reads_iter):
             recs = al.align_batch(batch)
             for r in recs:
                 if not (args.no_unal and not r.aligned):

@@ -264,3 +264,28 @@ def iter_interleaved(path, batch_size: int = 4096, **kw):
     if n2:
         yield (make_batch(n1[:len(n2)], s1[:len(n2)], q1[:len(n2)]),
                make_batch(n2, s2, q2))
+
+
+def prefetch(iterator, depth: int = 2):
+    """Background read-ahead: parse upcoming batches on a thread while the
+    device aligns the current one (ref: pat.h:1558
+    PatternSourceReadAheadFactory's dedicated reader thread)."""
+    import queue
+    import threading
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
