@@ -1,0 +1,53 @@
+"""Direct unit tests of the MAPQ v2 table and preset/policy parsing."""
+from bowtie2_server_tpu.align.mapq import mapq_v2
+from bowtie2_server_tpu.utils.presets import apply_policy_string, preset_params
+from bowtie2_server_tpu.utils.scoring import Scoring
+from bowtie2_server_tpu.utils.simple_func import SimpleFunc
+
+
+def test_mapq_e2e_table_spots():
+    # end-to-end, 100bp read: scMin = -60, scPer = 0, diff = 60
+    # unique perfect -> 42 (observed throughout the golden outputs)
+    assert mapq_v2(0, None, -60, 0, True) == 42
+    assert mapq_v2(-3, None, -60, 0, True) == 42      # bestOver 57 >= 48
+    assert mapq_v2(-13, None, -60, 0, True) == 40     # 47 >= 42 (0.7)
+    assert mapq_v2(-25, None, -60, 0, True) == 23     # 35 in [30, 36)
+    # with second-best: perfect + far second -> 39
+    assert mapq_v2(0, -59, -60, 0, True) == 39
+    # equal best/secbest -> 0 or 1
+    assert mapq_v2(0, 0, -60, 0, True) in (0, 1)
+
+
+def test_mapq_local_table_spots():
+    # local 100bp: scPer = 200, scMin = 20 + 8*ln(100) = 56, diff = 144
+    assert mapq_v2(200, None, 56, 200, False) == 44
+    assert mapq_v2(200, 60, 56, 200, False) == 40     # bestdiff 140 >= 129.6
+
+
+def test_presets():
+    sc, pol = preset_params("very-sensitive", False)
+    assert pol["seed_len"] == 20 and pol["n_seed_rounds"] == 3
+    assert sc.match_bonus == 0
+    sc, pol = preset_params(None, True)
+    assert pol["seed_len"] == 20
+    assert sc.local and sc.match_bonus == 2
+
+
+def test_policy_string():
+    sc, pol = preset_params(None, False)
+    sc2, pol2 = apply_policy_string(
+        "SEEDLEN=18;IVAL=L,2,0;MIN=L,-1,-1;MMP=Q,10,3;RDG=6,4", sc, dict(pol))
+    assert pol2["seed_len"] == 18
+    assert pol2["interval"].f_int(100) == 2
+    assert sc2.score_min.f_int(100) == -101
+    assert sc2.mm_pen_max == 10 and sc2.mm_pen_min == 3
+    assert sc2.read_gap_open == 10 and sc2.read_gap_extend == 4
+
+
+def test_simple_func_truncation_semantics():
+    # the C-cast truncation that seed intervals depend on
+    f = SimpleFunc.parse("S,1,1.15")
+    assert f.f_int(55) == 9     # trunc(9.53), NOT 10
+    assert f.f_int(100) == 12   # trunc(12.5)
+    g = SimpleFunc.parse("L,-0.6,-0.6")
+    assert g.f_int(100) == -60  # trunc toward zero, NOT -61
