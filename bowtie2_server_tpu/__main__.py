@@ -94,8 +94,12 @@ def cmd_align(args):
                  skip=args.skip, upto=args.upto)
 
     def write_fq(f, rec):
-        f.write(f"@{rec.name}\n{rec.seq.decode()}\n+\n"
-                f"{rec.qual.decode() or 'I'*len(rec.seq)}\n")
+        # --un/--al demux writes reads in ORIGINAL orientation (the
+        # reference echoes the input read, not the aligned-strand SEQ)
+        seq = rec.orig_seq or rec.seq
+        qual = rec.orig_qual or rec.qual
+        f.write(f"@{rec.name}\n{seq.decode()}\n+\n"
+                f"{qual.decode() or 'I'*len(seq)}\n")
 
     if args.m1 and args.m2:
         from .align.paired import PairedAligner, PairedPolicy

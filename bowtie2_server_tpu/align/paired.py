@@ -120,7 +120,7 @@ class PairedAligner:
                 fw2 = st2.cands[c2][1]
                 o2 = self._approx_off(st2, c2)
                 if self.pe.classify(o1, l1, fw1, o2, l2, fw2) == CONCORDANT:
-                    out.append((sc1 + sc2, sc1, c1, sc2, c2))
+                    out.append((sc1 + sc2, sc1, c1, sc2, c2, True))
                     continue
                 # loose acceptance: right orientation pattern and extents
                 # within slack of the fragment limit
@@ -134,7 +134,7 @@ class PairedAligner:
                 maxfrag = max(self.pe.maxfrag, l1, l2) \
                     if self.pe.expand_to_fit else self.pe.maxfrag
                 if frag <= maxfrag + slack:
-                    out.append((sc1 + sc2, sc1, c1, sc2, c2))
+                    out.append((sc1 + sc2, sc1, c1, sc2, c2, False))
         out.sort(key=lambda t: (-t[0], self._approx_off(st1, t[2])))
         return out
 
@@ -212,12 +212,18 @@ class PairedAligner:
         idx = up.idx
         joined = idx.joined
         lq = 0
-        rows = []
+        eff_maxfrag = self.pe.maxfrag
         for which, i, opp_fw, wl, wr in jobs:
             st_opp = st2 if which == "2" else st1
+            st_anc = st1 if which == "2" else st2
             lq = max(lq, int(st_opp.lens[i]))
+            if self.pe.expand_to_fit:
+                # the effective fragment limit includes read lengths
+                # (classify's expand_to_fit), so the window must too
+                eff_maxfrag = max(eff_maxfrag, int(st_opp.lens[i]),
+                                  int(st_anc.lens[i]))
         lq = -(-max(lq, 1) // 64) * 64
-        wmax = -(-(self.pe.maxfrag + 64) // 128) * 128
+        wmax = -(-(eff_maxfrag + 64) // 128) * 128
         C = len(jobs)
         rd_m = np.full((C, lq), 5, np.uint8)
         mm_m = np.zeros((C, lq), np.int32)
@@ -296,8 +302,12 @@ class PairedAligner:
         r1, r2 = st1.recs[i], st2.recs[i]
         pe = self.pe
         # try concordant combos best-first
-        for rank, (tot, sc1, c1, sc2, c2) in enumerate(combos):
-            sec = combos[rank + 1][0] if rank + 1 < len(combos) else None
+        for rank, (tot, sc1, c1, sc2, c2, _strict) in enumerate(combos):
+            # secbest for MAPQ: the best later combo that passed STRICT
+            # concordant classification — loosely-accepted entries may never
+            # be reportable and must not shift MAPQ (ref: bestUnchosenCScore
+            # semantics, aln_sink.h AlnSetSumm)
+            sec = next((c[0] for c in combos[rank + 1:] if c[5]), None)
             ok1 = self.up.finish_candidate(st1, i, c1, sc1, None)
             ok2 = self.up.finish_candidate(st2, i, c2, sc2, None)
             if not (ok1 and ok2):

@@ -83,6 +83,11 @@ class AlnRec:
     secondary: bool = False  # SAM 0x100 (for -k/-a extra records)
     seq: bytes = b""        # aligned-strand sequence (SAM SEQ)
     qual: bytes = b""
+    # original-orientation read, the source of truth for SEQ/QUAL: _finish
+    # may run more than once on a record (paired combo retries), so it must
+    # always re-derive rather than mutate seq/qual in place
+    orig_seq: bytes = b""
+    orig_qual: bytes = b""
     # paired-end fields (ref: aln_sink SAM flag/TLEN assembly)
     paired: bool = False
     mate1: bool = True
@@ -198,8 +203,8 @@ class UnpairedAligner:
 
         recs = [AlnRec(name=batch.names[i], aligned=False) for i in range(B)]
         for i in range(B):
-            recs[i].seq = batch.raw_seq[i]
-            recs[i].qual = batch.raw_qual[i]
+            recs[i].seq = recs[i].orig_seq = batch.raw_seq[i]
+            recs[i].qual = recs[i].orig_qual = batch.raw_qual[i]
 
         # -- filters (ref: bt2_search.cpp:3323-3352) --
         n_counts = ((fw_seqs > 3) & (np.arange(L)[None, :] < lens[:, None])).sum(1)
@@ -586,10 +591,9 @@ class UnpairedAligner:
             if len(extras) + 1 >= k:
                 break
             rec = AlnRec(name=st.recs[i].name, aligned=False,
-                         seq=st.recs[i].seq if st.recs[i].fw
-                         else st.recs[i].seq, qual=st.recs[i].qual)
-            # use the original-orientation sequence for re-finishing
-            rec.seq, rec.qual = self._orig_seq(st.recs[i])
+                         seq=st.recs[i].orig_seq, qual=st.recs[i].orig_qual,
+                         orig_seq=st.recs[i].orig_seq,
+                         orig_qual=st.recs[i].orig_qual)
             if self.finish_candidate(st, i, bci, bsc, sec, rec=rec):
                 rec.secondary = True
                 rec.mapq = 255
@@ -598,10 +602,7 @@ class UnpairedAligner:
 
     @staticmethod
     def _orig_seq(rec):
-        if rec.fw:
-            return rec.seq, rec.qual
-        return (dna.decode(dna.revcomp(dna.encode(rec.seq))).encode(),
-                rec.qual[::-1])
+        return rec.orig_seq, rec.orig_qual
 
     def _finish(self, rec: AlnRec, i, is_fw, rl, bsc, sec, kind, bi, bk,
                 rd, mm, window, wstart, msc, per, nc) -> bool:
@@ -652,8 +653,10 @@ class UnpairedAligner:
             stats["nm"], stats["xm"], stats["xo"], stats["xg"])
         rec.xn = xn
         rec.mapq = mapq_v2(bsc, sec, msc, per, self.sc.monotone)
-        if not rec.fw:
+        if rec.fw:
+            rec.seq, rec.qual = rec.orig_seq, rec.orig_qual
+        else:
             rec.seq = dna.decode(
-                dna.revcomp(dna.encode(rec.seq))).encode()
-            rec.qual = rec.qual[::-1]
+                dna.revcomp(dna.encode(rec.orig_seq))).encode()
+            rec.qual = rec.orig_qual[::-1]
         return True

@@ -108,3 +108,36 @@ def test_paired_local_parity_lambda():
                for k in golden)
     # paired local currently ~97% on the full set; assert a safe floor
     assert full >= 0.94 * len(golden), f"only {full}/{len(golden)}"
+
+
+def test_refinish_keeps_seq_orientation():
+    """A record finished twice (paired combo retry path) must not
+    double-reverse-complement SEQ/QUAL (regression: _finish used to mutate
+    rec.seq in place)."""
+    from bowtie2_server_tpu.align.pipeline import UnpairedAligner
+    from bowtie2_server_tpu.index.build import build_index
+    from bowtie2_server_tpu.io.fastq import make_batch
+    from bowtie2_server_tpu.utils import dna
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 4, 2000).astype(np.uint8)
+    idx = build_index(">r\n" + dna.decode(g) + "\n")
+    # a reverse-strand read
+    rd = dna.revcomp(g[500:600])
+    seq = dna.decode(rd).encode()
+    batch = make_batch(["q"], [seq], [b"I" * 100])
+    al = UnpairedAligner(idx, engine="xla")
+    st = al.collect(batch)
+    scored = al.scored_candidates(st, 0)
+    assert scored
+    bsc, ci = scored[0]
+    ok = al.finish_candidate(st, 0, ci, bsc, None)
+    assert ok and not st.recs[0].fw
+    seq_once, qual_once = st.recs[0].seq, st.recs[0].qual
+    # finishing again (as _decide does after a rejected combo) must
+    # reproduce the same aligned-strand SEQ, not RC it back
+    ok = al.finish_candidate(st, 0, ci, bsc, None)
+    assert ok
+    assert st.recs[0].seq == seq_once
+    assert st.recs[0].qual == qual_once
+    assert st.recs[0].seq == dna.decode(dna.revcomp(dna.encode(seq))).encode()
