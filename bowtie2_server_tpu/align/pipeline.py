@@ -101,6 +101,62 @@ class AlnRec:
     pair_multi: bool = False  # pair had >1 concordant combo (summary stat)
 
 
+class ArrayCands:
+    """(read, fw, diag) candidate list backed by flat arrays (from the fused
+    device pipeline), with append support for rescue-added candidates."""
+
+    __slots__ = ("_r", "_f", "_d", "extra")
+
+    def __init__(self, read, fw, diag):
+        self._r, self._f, self._d = read, fw, diag
+        self.extra: list[tuple] = []
+
+    def __len__(self):
+        return len(self._r) + len(self.extra)
+
+    def __getitem__(self, ci):
+        n = len(self._r)
+        if ci < n:
+            return (int(self._r[ci]), bool(self._f[ci]), int(self._d[ci]))
+        return self.extra[ci - n]
+
+    def append(self, t):
+        self.extra.append(t)
+
+
+class LazyFin:
+    """fin_info list materializing band windows on demand (a slice of the
+    joined text) instead of copying one window per candidate up front."""
+
+    __slots__ = ("_res", "_lens", "_joined", "_K", "_over", "_n")
+
+    def __init__(self, res, lens, joined, K):
+        self._res, self._lens, self._joined, self._K = res, lens, joined, K
+        self._over: dict[int, tuple | None] = {}
+        self._n = len(res.c_read)
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, ci):
+        if ci in self._over:
+            return self._over[ci]
+        res = self._res
+        if ci >= len(res.c_read) or not res.c_interior[ci]:
+            return None
+        rl = int(self._lens[res.c_read[ci]])
+        ws = int(res.c_ws[ci])
+        return ("band", int(res.c_bi[ci]), int(res.c_bk[ci]),
+                self._joined[ws : ws + rl + self._K], ws)
+
+    def set(self, ci, v):
+        self._over[ci] = v
+
+    def append(self, v):
+        self._over[self._n] = v
+        self._n += 1
+
+
 def revcomp_batch(seqs, quals, lens):
     """Vectorized per-row reverse complement respecting lengths."""
     B, L = seqs.shape
@@ -136,6 +192,17 @@ class UnpairedAligner:
             gapbar=self.sc.gapbar, local=self.sc.local)
         self.dp_log = None   # file handle: log DP problems (ref: --dp-log)
         self.timing = None   # dict: stage wall-clock accumulation (ref: -t)
+        # fused device pipeline (align/candgen.py) — the fast path
+        self.candgen = None
+        if self.dev_mirror is not None:
+            import jax as _jax
+            from .candgen import CandGen
+            eng = self.engine
+            if eng == "auto":
+                eng = ("pallas" if _jax.default_backend() == "tpu"
+                       else "xla")
+            self.candgen = CandGen(self.dev, self.dev_mirror, index,
+                                   self.pol, self.sw_cfg, eng, BAND)
 
     # ---- seed schedule (ref: bt2_search.cpp:3848-3870, aligner_seed.cpp:498)
 
@@ -177,15 +244,270 @@ class UnpairedAligner:
         return (lens == 0) | (n_counts > nceil) | (perfect < minsc)
 
     def align_batch(self, batch: ReadBatch) -> list[AlnRec]:
-        st = self.collect(batch)
+        return self.align_wait(self.align_async(batch))
+
+    # -- async two-phase API: dispatch device work for batch i+1 while the
+    # host finishes batch i (double-buffering; ref: the reference's
+    # readahead/worker overlap, pat.h:1558) --
+
+    def align_async(self, batch: ReadBatch):
+        return (batch, self.collect_async(batch))
+
+    def align_wait(self, handle) -> list[AlnRec]:
+        batch, chandle = handle
+        st = self.collect_wait(chandle)
+        B = st.B
+        handled = np.zeros(B, bool)
+        if getattr(st, "sel", None) is not None and self.pol.khits == 1:
+            handled = self._finish_fast(st)
         out = []
-        for i in range(st.B):
-            extras = self._select_unpaired(st, i)
-            out.append(st.recs[i])
-            out.extend(extras)
+        for i in range(B):
+            if handled[i]:
+                out.append(st.recs[i])
+            else:
+                extras = self._select_unpaired(st, i)
+                out.append(st.recs[i])
+                out.extend(extras)
         return out
 
+    # ---- collect: fused device path with host fallback ----
+
     def collect(self, batch: ReadBatch, boost=None, seed_skip=None):
+        return self.collect_wait(self.collect_async(batch, boost, seed_skip))
+
+    def collect_async(self, batch: ReadBatch, boost=None, seed_skip=None):
+        """Dispatch the device-side search for a batch (non-blocking)."""
+        if (self.candgen is None or self.dp_log is not None
+                or self.timing is not None):
+            return ("host", batch, boost, seed_skip)
+        from .candgen import per_len
+        lens = batch.lens
+        B, L = batch.seqs.shape
+        n_counts = ((batch.seqs > 3)
+                    & (np.arange(L)[None, :] < lens[:, None])).sum(1)
+        nceil = per_len(self.sc.n_ceil_for, lens)
+        minsc = per_len(self.sc.score_min_for, lens)
+        perfect = per_len(self.sc.perfect_score, lens)
+        filtered = ((lens == 0) | (n_counts > nceil) | (perfect < minsc))
+        active = ~filtered
+        h = self.candgen.dispatch(
+            batch.seqs, batch.quals, lens,
+            active & (not self.nofw), active & (not self.norc),
+            minsc, self.sc.mm_penalties(), boost=boost, seed_skip=seed_skip)
+        meta = dict(lens=lens, filtered=filtered, minsc=minsc,
+                    perfect=perfect, nceil=nceil)
+        return ("fused", batch, boost, seed_skip, h, meta)
+
+    def collect_wait(self, handle):
+        if handle[0] == "host":
+            _, batch, boost, seed_skip = handle
+            return self._collect_host(batch, boost, seed_skip)
+        _, batch, boost, seed_skip, h, meta = handle
+        res = self.candgen.fetch(h)
+        if res.overflow:
+            return self._collect_host(batch, boost, seed_skip)
+        return self._build_state(batch, res, meta)
+
+    def _build_state(self, batch: ReadBatch, res, meta):
+        """Package fused-pipeline outputs as the per-batch state consumed by
+        selection/finish and the paired driver (array-backed, lazy)."""
+        from types import SimpleNamespace
+        B, L = batch.seqs.shape
+        lens = meta["lens"]
+        filtered = meta["filtered"]
+        recs = [AlnRec(name=batch.names[i], aligned=False) for i in range(B)]
+        for i in range(B):
+            recs[i].seq = recs[i].orig_seq = batch.raw_seq[i]
+            recs[i].qual = recs[i].orig_qual = batch.raw_qual[i]
+            if filtered[i]:
+                recs[i].filtered = True
+
+        fw_seqs, fw_quals = batch.seqs, batch.quals
+        rc_seqs, rc_quals = revcomp_batch(fw_seqs, fw_quals, lens)
+        mmtab = self.sc.mm_penalties()
+        mm_fw = mmtab[np.clip(fw_quals, 0, 255)].astype(np.int32)
+        mm_rc = mmtab[np.clip(rc_quals, 0, 255)].astype(np.int32)
+
+        C = len(res.c_read)
+        cands = ArrayCands(res.c_read, res.c_fw, res.c_diag)
+        best = np.where(res.c_interior, res.c_score, NEG_INF).astype(np.int64)
+        end_joined = np.where(res.c_interior, res.c_end, -1).astype(np.int64)
+        by_read: dict[int, list[int]] = {}
+        c_read_l = res.c_read.tolist()
+        for ci in range(C):
+            by_read.setdefault(c_read_l[ci], []).append(ci)
+
+        def read_arrays(ci):
+            i, is_fw, _ = cands[ci]
+            rl = int(lens[i])
+            if is_fw:
+                return fw_seqs[i, :rl], mm_fw[i, :rl], rl
+            return rc_seqs[i, :rl], mm_rc[i, :rl], rl
+
+        fin_info = LazyFin(res, lens, self.idx.joined, BAND)
+        st = SimpleNamespace(
+            B=B, recs=recs, cands=cands, best=best, end_joined=end_joined,
+            fin_info=fin_info, by_read=by_read, read_arrays=read_arrays,
+            lens=lens, minsc=meta["minsc"], perfect=meta["perfect"],
+            nceil=meta["nceil"], exact_mult=res.exact_mult.astype(np.int64),
+            filtered=filtered, seeds_failed_r0=res.seeds_failed_r0,
+            res=res, sel=res,
+            fw_seqs=fw_seqs, rc_seqs=rc_seqs, mm_fw=mm_fw, mm_rc=mm_rc)
+        # run host rectangle DP for candidates whose band window crosses an
+        # unambiguous-run boundary (ref: dp_framer.cpp:81 trimming)
+        rect_ids = np.nonzero(~res.c_interior)[0]
+        if len(rect_ids):
+            self._rect_dp(st, rect_ids)
+        return st
+
+    def _rect_dp(self, st, rect_ids):
+        """Host rectangle-DP path for run-boundary candidates (rare), with
+        reference-style window trimming (ref: dp_framer.cpp:81)."""
+        mg2 = 2 * self.pol.maxhalf
+        joined = self.idx.joined
+        jobs = []
+        for ci in rect_ids:
+            i, is_fw, diag = st.cands[int(ci)]
+            rl = int(st.lens[i])
+            ri = np.searchsorted(self._run_starts, max(diag, 0),
+                                 side="right") - 1
+            ri = min(max(ri, 0), len(self._run_starts) - 1)
+            lo = int(self._run_starts[ri])
+            hi = int(self._run_ends[ri])
+            wl = max(lo, diag - mg2)
+            wr = min(hi, diag + rl + mg2)
+            if wr > wl:
+                jobs.append((int(ci), wl, wr))
+        if not jobs:
+            return
+        lq = max(int(st.lens[st.cands[ci][0]]) for ci, _, _ in jobs)
+        wmax = max(wr - wl for _, wl, wr in jobs)
+        lq = -(-lq // 64) * 64
+        wmax = -(-wmax // 128) * 128
+        nr = len(jobs)
+        rd_m = np.full((nr, lq), 5, np.uint8)
+        mm_m = np.zeros((nr, lq), np.int32)
+        ref_m = np.full((nr, wmax), 4, np.uint8)
+        clens = np.zeros(nr, np.int32)
+        wlens = np.zeros(nr, np.int32)
+        for ri_, (ci, wl, wr) in enumerate(jobs):
+            rd, mm, rl = st.read_arrays(ci)
+            rd_m[ri_, :rl] = rd
+            mm_m[ri_, :rl] = mm
+            clens[ri_] = rl
+            a, b = max(wl, 0), min(wr, self.idx.n)
+            if b > a:
+                ref_m[ri_, a - wl : b - wl] = joined[a:b]
+            wlens[ri_] = wr - wl
+        r_best, r_bi, r_bj = sw_align_batch(
+            rd_m, clens, mm_m, ref_m, wlens, self.sw_cfg, engine=self.engine)
+        for ri_, (ci, wl, wr) in enumerate(jobs):
+            st.best[ci] = int(r_best[ri_])
+            st.end_joined[ci] = wl + int(r_bj[ri_])
+            st.fin_info.set(ci, ("rect", int(r_bi[ri_]), int(r_bj[ri_]),
+                                 ref_m[ri_, : wr - wl], wl))
+
+    def _finish_fast(self, st) -> np.ndarray:
+        """Vectorized commit of the device-selected best alignment per read
+        (khits == 1). Returns the per-read handled mask; reads needing the
+        general path (rect candidates, gapped/local traceback fallbacks that
+        fail) stay unhandled."""
+        res = st.res
+        B = st.B
+        ok_reads = ~res.has_rect & ~st.filtered
+        handled = ok_reads & (res.best_ci < 0)   # unaligned: rec already set
+        w = np.nonzero(ok_reads & (res.best_ci >= 0))[0]
+        if not len(w):
+            return handled
+        k = res.best_ci[w]
+        fw_b = res.c_fw[k]
+        ws = res.c_ws[k].astype(np.int64)
+        bi = res.c_bi[k]
+        bk = res.c_bk[k]
+        score = res.c_score[k].astype(np.int64)
+        rl = st.lens[w]
+        cfg = self.sw_cfg
+
+        # secbest per read (ref: AlnSetSumm secbest; _select_unpaired logic)
+        NEGH = NEG_INF // 2
+        has_sec = res.sec_sc[w] > NEGH
+        exact_rule = (~has_sec) & (
+            (st.exact_mult[w] > self.pol.max_sa_elts) | (st.exact_mult[w] > 1))
+
+        # vectorized ungapped fast path (e2e only; ref: swa.ungappedAlign)
+        Lm = st.fw_seqs.shape[1]
+        rd = np.where(fw_b[:, None], st.fw_seqs[w], st.rc_seqs[w])
+        mm = np.where(fw_b[:, None], st.mm_fw[w], st.mm_rc[w])
+        jp = ws + bk                       # joined pos of alignment start
+        cols = jp[:, None] + np.arange(Lm)
+        refm = self.idx.joined[np.clip(cols, 0, self.idx.n - 1)]
+        jmask = np.arange(Lm)[None, :] < rl[:, None]
+        isn = rd > 3                       # joined never contains N
+        mismatch = (rd != refm) & jmask
+        s = np.where(isn, -cfg.npen, np.where(~mismatch, cfg.ma, -mm))
+        usc = np.where(jmask, s, 0).sum(1)
+        ungapped = (not cfg.local) & (bi == rl - 1) & (usc == score)
+
+        ref_id, ref_off, _ = self.idx.joined_to_ref(jp)
+        mmn = (mismatch | (isn & jmask))
+        nm = mmn.sum(1)
+        rows, cols_mm = np.nonzero(mmn)
+        row_split = np.searchsorted(rows, np.arange(len(w) + 1))
+        mapqs = [mapq_v2(int(score[t]),
+                         (int(res.sec_sc[w[t]]) if has_sec[t]
+                          else (int(st.perfect[w[t]]) if exact_rule[t]
+                                else None)),
+                         int(st.minsc[w[t]]), int(st.perfect[w[t]]),
+                         self.sc.monotone)
+                 for t in range(len(w))]
+
+        BASES = "ACGTN"
+        for t in range(len(w)):
+            i = int(w[t])
+            if not ungapped[t]:
+                # rare: gapped or local winner — per-read traceback path
+                sec = (int(res.sec_sc[i]) if has_sec[t]
+                       else (int(st.perfect[i]) if exact_rule[t] else None))
+                if self.finish_candidate(st, i, int(res.best_ci[i]),
+                                         int(score[t]), sec):
+                    handled[i] = True
+                continue
+            rec = st.recs[i]
+            rln = int(rl[t])
+            rec.aligned = True
+            rec.fw = bool(fw_b[t])
+            rec.ref_id = int(ref_id[t])
+            rec.pos = int(ref_off[t])
+            rec.score = int(score[t])
+            rec.secbest = (int(res.sec_sc[i]) if has_sec[t]
+                           else (int(st.perfect[i]) if exact_rule[t]
+                                 else None))
+            rec.mapq = mapqs[t]
+            rec.cigar = f"{rln}M"
+            n_mm = int(nm[t])
+            rec.nm = rec.xm = n_mm
+            rec.xo = rec.xg = rec.xn = 0
+            if n_mm == 0:
+                rec.md = str(rln)
+            else:
+                parts = []
+                last = 0
+                base = row_split[t]
+                for p in cols_mm[base : row_split[t + 1]]:
+                    parts.append(str(p - last))
+                    parts.append(BASES[min(int(refm[t, p]), 4)])
+                    last = p + 1
+                parts.append(str(rln - last))
+                rec.md = "".join(parts)
+            if rec.fw:
+                rec.seq, rec.qual = rec.orig_seq, rec.orig_qual
+            else:
+                rec.seq = dna.revcomp_ascii(rec.orig_seq)
+                rec.qual = rec.orig_qual[::-1]
+            handled[i] = True
+        return handled
+
+    def _collect_host(self, batch: ReadBatch, boost=None, seed_skip=None):
         """Run all candidate-generation + DP stages; return the per-batch
         state (candidates with scores and finish info) without committing a
         per-read selection — shared by unpaired and paired drivers.
@@ -656,7 +978,6 @@ class UnpairedAligner:
         if rec.fw:
             rec.seq, rec.qual = rec.orig_seq, rec.orig_qual
         else:
-            rec.seq = dna.decode(
-                dna.revcomp(dna.encode(rec.orig_seq))).encode()
+            rec.seq = dna.revcomp_ascii(rec.orig_seq)
             rec.qual = rec.orig_qual[::-1]
         return True

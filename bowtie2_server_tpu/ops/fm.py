@@ -162,9 +162,10 @@ def backward_search(fm: DeviceFm, patterns, lengths, use_ftab: bool = True):
     return np.asarray(top)[:B0], np.asarray(bot)[:B0]
 
 
-@functools.partial(jax.jit, static_argnames=("use_ftab",))
-def _backward_search_impl(fm: DeviceFm, patterns: jax.Array,
-                          lengths: jax.Array, use_ftab: bool = True):
+def backward_search_body(fm: DeviceFm, patterns: jax.Array,
+                         lengths: jax.Array, use_ftab: bool = True):
+    """Traceable body of the batched exact backward search (also called
+    inline from the fused candidate pipeline, align/candgen.py)."""
     B, L = patterns.shape
     k = FTAB_CHARS
 
@@ -215,6 +216,10 @@ def _backward_search_impl(fm: DeviceFm, patterns: jax.Array,
     return jnp.where(empty, 0, top), jnp.where(empty, 0, bot)
 
 
+_backward_search_impl = jax.jit(backward_search_body,
+                                static_argnames=("use_ftab",))
+
+
 def sa_resolve(fm: DeviceFm, top, count, max_elts: int):
     """Gather up to max_elts SA entries per range: offsets[b, i] = SA[top[b]+i]
     for i < count[b]; invalid slots = -1. Replaces lazy group-walk resolution
@@ -261,8 +266,8 @@ def backward_search_record(fm: DeviceFm, patterns, lengths):
     return np.asarray(tops)[:B0], np.asarray(bots)[:B0]
 
 
-@jax.jit
-def _backward_search_record_impl(fm: DeviceFm, patterns, lengths):
+def backward_search_record_body(fm: DeviceFm, patterns, lengths):
+    """Traceable body (reused by align/candgen.py)."""
     lengths = lengths.astype(jnp.int32)
     B, L = patterns.shape
     pat = patterns.astype(jnp.int32)
@@ -288,6 +293,9 @@ def _backward_search_record_impl(fm: DeviceFm, patterns, lengths):
     bots = jnp.zeros((B, L + 1), jnp.int32).at[:, 0].set(bot0)
     _, _, tops, bots = jax.lax.fori_loop(0, L, body, (top0, bot0, tops, bots))
     return tops, bots
+
+
+_backward_search_record_impl = jax.jit(backward_search_record_body)
 
 
 @jax.jit
@@ -321,9 +329,8 @@ def lf_step_padded(fm: DeviceFm, c, top, bot):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("w0", "cw", "k1"))
-def _one_mm_phase0(fm: DeviceFm, pat, lens, hi, tops, bots,
-                   w0: int, cw: int, k1: int):
+def one_mm_phase0_body(fm: DeviceFm, pat, lens, hi, tops, bots,
+                       w0: int, cw: int, k1: int):
     """Substitution step for branch positions [w0, w0+cw) of every pattern,
     compacted to at most k1 surviving branches.
 
@@ -364,8 +371,12 @@ def _one_mm_phase0(fm: DeviceFm, pat, lens, hi, tops, bots,
             count)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
-def _one_mm_phase1(fm: DeviceFm, pat, cb, pos, top, bot, n_steps: int):
+_one_mm_phase0 = jax.jit(one_mm_phase0_body,
+                         static_argnames=("w0", "cw", "k1"))
+
+
+def one_mm_phase1_body(fm: DeviceFm, pat, cb, pos, top, bot,
+                       n_steps: int):
     """Continue all branches backward to pattern position 0 (masked fori)."""
     def body(_, carry):
         pos_, top_, bot_ = carry
@@ -379,6 +390,9 @@ def _one_mm_phase1(fm: DeviceFm, pat, cb, pos, top, bot, n_steps: int):
         return pos_, top_, bot_
     pos, top, bot = jax.lax.fori_loop(0, n_steps, body, (pos, top, bot))
     return jnp.stack([pos, top, bot])
+
+
+_one_mm_phase1 = jax.jit(one_mm_phase1_body, static_argnames=("n_steps",))
 
 
 @jax.jit

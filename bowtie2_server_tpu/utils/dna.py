@@ -43,3 +43,17 @@ def phred33(qual: bytes | str) -> np.ndarray:
         qual = qual.encode("ascii")
     q = np.frombuffer(qual, dtype=np.uint8).astype(np.int32) - 33
     return np.maximum(q, 0)
+
+
+# ASCII-level reverse complement (C-speed via bytes.translate; IUPAC
+# ambiguity codes map to N like asc2dna does in code space).
+_COMP_ASCII = bytearray(b"N" * 256)
+for _a, _b in ((b"A", b"T"), (b"C", b"G"), (b"G", b"C"), (b"T", b"A"),
+               (b"U", b"A")):
+    _COMP_ASCII[_a[0]] = _b[0]
+    _COMP_ASCII[ord(chr(_a[0]).lower())] = _b[0]
+COMP_ASCII = bytes(_COMP_ASCII)
+
+
+def revcomp_ascii(seq: bytes) -> bytes:
+    return seq[::-1].translate(COMP_ASCII)
