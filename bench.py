@@ -85,10 +85,19 @@ def main():
     n_aligned = sum(r.aligned for r in recs)
     t0 = time.time()
     n = len(batches[0])
+    # double-buffered: device works on batch i+1 while the host finishes i
+    from collections import deque
+    inflight = deque()
+    DEPTH = 2
     for b in batches[1:]:
-        recs = al.align_batch(b)
-        n_aligned += sum(r.aligned for r in recs)
+        inflight.append(al.align_async(b))
         n += len(b)
+        if len(inflight) >= DEPTH:
+            recs = al.align_wait(inflight.popleft())
+            n_aligned += sum(r.aligned for r in recs)
+    while inflight:
+        recs = al.align_wait(inflight.popleft())
+        n_aligned += sum(r.aligned for r in recs)
     dt = time.time() - t0
     reads_per_s = (n - len(batches[0])) / dt
     out = {

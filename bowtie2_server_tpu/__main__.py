@@ -184,9 +184,22 @@ def cmd_align(args):
             al.dp_log = open(args.dp_log, "w")
         if args.timing:
             al.timing = {}
+        from collections import deque
         from .io.fastq import prefetch
-        for batch in prefetch(reads_iter):
-            recs = al.align_batch(batch)
+
+        def batch_results():
+            # double-buffered: dispatch device work for the next batch
+            # before finishing the current one (ref: async readahead +
+            # worker overlap, pat.h:1558)
+            inflight = deque()
+            for batch in prefetch(reads_iter):
+                inflight.append(al.align_async(batch))
+                if len(inflight) >= 2:
+                    yield al.align_wait(inflight.popleft())
+            while inflight:
+                yield al.align_wait(inflight.popleft())
+
+        for recs in batch_results():
             for r in recs:
                 if not (args.no_unal and not r.aligned):
                     out.write(sam_record(r, idx.ref_names, args.rg_id)

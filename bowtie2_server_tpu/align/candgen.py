@@ -464,7 +464,8 @@ class CandGen:
     schedules, dispatch (async) and fetch (single packed transfer)."""
 
     def __init__(self, dev_fw, dev_mirror, idx, pol, sw_cfg, engine: str,
-                 K: int, device=None):
+                 K: int, device=None, mesh=None):
+        self.mesh = mesh
         put = lambda x: jax.device_put(x, device)
         self.didx = DeviceIndex(
             fw=dev_fw, mirror=dev_mirror,
@@ -482,7 +483,9 @@ class CandGen:
         """seqs/quals: [B0, L0] uint8/int; lens [B0]. Returns an opaque
         handle (device arrays still in flight) for fetch()."""
         B0, L0 = seqs.shape
-        Bp = _pow2(B0, lo=256)
+        ndev = self.mesh.devices.size if self.mesh is not None else 1
+        B_local = _pow2(-(-B0 // ndev), lo=max(256 // ndev, 64))
+        Bp = B_local * ndev
         Lp = _pow2(max(L0, 32), lo=32)
         pol = self.pol
 
@@ -512,22 +515,57 @@ class CandGen:
         r0_p = padB((act_fw | act_rc) & ~np.asarray(seed_skip, bool))
 
         GRID = 4 << 20
-        cw = min(_pow2(max(Lp // 2, 8), lo=8), max(8, GRID // (2 * Bp * 4)))
+        Bl = B_local
+        cw = min(_pow2(max(Lp // 2, 8), lo=8), max(8, GRID // (2 * Bl * 4)))
         n_chunks = -(-(Lp // 2) // cw)
         cfg = CandGenCfg(
-            B=Bp, L=Lp, S=S, R=pol.n_seed_rounds, E=pol.max_sa_elts,
+            B=Bl, L=Lp, S=S, R=pol.n_seed_rounds, E=pol.max_sa_elts,
             seed_len=pol.seed_len, K=self.K,
-            k1=_pow2(4 * Bp, lo=4096), chunk_w=cw, n_chunks=n_chunks,
-            C_pre=_pow2(16 * Bp, lo=8192), C_max=_pow2(4 * Bp, lo=4096),
+            k1=_pow2(4 * Bl, lo=4096), chunk_w=cw, n_chunks=n_chunks,
+            C_pre=_pow2(16 * Bl, lo=8192), C_max=_pow2(4 * Bl, lo=4096),
             sw=self.sw_cfg, engine=self.engine)
-        out = fused_pipeline(
-            self.didx, cfg, jnp.asarray(seqs_p), jnp.asarray(mm_p),
-            jnp.asarray(lens_p), jnp.asarray(act_fw_p), jnp.asarray(act_rc_p),
-            jnp.asarray(minsc_p), jnp.asarray(start_p), jnp.asarray(valid_p),
-            jnp.asarray(r0_p))
+        args = (jnp.asarray(seqs_p), jnp.asarray(mm_p),
+                jnp.asarray(lens_p), jnp.asarray(act_fw_p),
+                jnp.asarray(act_rc_p), jnp.asarray(minsc_p),
+                jnp.asarray(start_p), jnp.asarray(valid_p), jnp.asarray(r0_p))
+        if self.mesh is not None:
+            out = _sharded_pipeline(cfg, self.mesh)(self.didx, *args)
+        else:
+            out = fused_pipeline(self.didx, cfg, *args)
         return (B0, out, cfg)
 
     def fetch(self, handle) -> BatchResult:
         B0, (cand_pack, read_pack, counters), cfg = handle
         return BatchResult(B0, np.asarray(cand_pack), np.asarray(read_pack),
                            np.asarray(counters), cfg)
+
+
+# ------------------------------------------------------------- multi-chip -
+
+@functools.lru_cache(maxsize=16)
+def _sharded_pipeline(cfg: CandGenCfg, mesh):
+    """shard_map the fused pipeline over the mesh's 'dp' axis: reads are
+    sharded, the index replicated (ref: SURVEY §2.3 — the reference's
+    read-level data parallelism over worker threads maps to SPMD read
+    shards; bt2_search.cpp:4913-4925). Candidate/read indices are remapped
+    to global space on device so the host decode is shard-agnostic."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(didx, fw_seqs, mm_fw, lens, act_fw, act_rc, minsc,
+                 seed_start, seed_valid, seed_r0):
+        cp, rp, ct = fused_pipeline(didx, cfg, fw_seqs, mm_fw, lens,
+                                    act_fw, act_rc, minsc, seed_start,
+                                    seed_valid, seed_r0)
+        s = jax.lax.axis_index("dp").astype(jnp.int32)
+        cvalid = cp[8] > 0
+        cp = cp.at[0].set(jnp.where(cvalid, cp[0] + s * cfg.B, cp[0]))
+        bc = rp[0]
+        rp = rp.at[0].set(jnp.where(bc >= 0, bc + s * cfg.C_max, bc))
+        return cp, rp, ct
+
+    return jax.jit(shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(),) + (P("dp"),) * 9,
+        out_specs=(P(None, "dp"), P(None, "dp"), P("dp")),
+        check_rep=False))

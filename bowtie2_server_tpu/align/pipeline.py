@@ -172,7 +172,7 @@ def revcomp_batch(seqs, quals, lens):
 class UnpairedAligner:
     def __init__(self, index: FmIndex, scoring: Scoring | None = None,
                  policy: SearchPolicy | None = None, engine: str = "auto",
-                 nofw: bool = False, norc: bool = False):
+                 nofw: bool = False, norc: bool = False, mesh=None):
         self.nofw = nofw
         self.norc = norc
         self.idx = index
@@ -202,7 +202,8 @@ class UnpairedAligner:
                 eng = ("pallas" if _jax.default_backend() == "tpu"
                        else "xla")
             self.candgen = CandGen(self.dev, self.dev_mirror, index,
-                                   self.pol, self.sw_cfg, eng, BAND)
+                                   self.pol, self.sw_cfg, eng, BAND,
+                                   mesh=mesh)
 
     # ---- seed schedule (ref: bt2_search.cpp:3848-3870, aligner_seed.cpp:498)
 

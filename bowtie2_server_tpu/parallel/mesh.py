@@ -95,3 +95,58 @@ def dryrun_multichip(n_devices: int) -> None:
     jax.block_until_ready(best)
     assert int(n_aligned) == B, f"{int(n_aligned)} != {B}"
     assert best.shape == (B,)
+
+
+# ---- the REAL pipeline over a mesh (round 2) -------------------------------
+# The fused candidate pipeline (align/candgen.py) runs under shard_map with
+# reads sharded on the 'dp' axis and the index replicated; the aligner takes
+# a mesh= argument and every batch transparently fans out. These helpers
+# build the mesh and drive a full alignment for the driver's dryrun.
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def dryrun_full_pipeline(n_devices: int) -> None:
+    """Drive the REAL UnpairedAligner (exact+1mm+seeds+DP+selection) over an
+    n-device mesh and assert the results equal the single-device run."""
+    from ..align.pipeline import UnpairedAligner
+    from ..index.build import build_index
+    from ..io.fastq import make_batch
+    from ..utils import dna
+
+    rng = np.random.default_rng(7)
+    text = dna.decode(rng.integers(0, 4, 20000).astype(np.uint8))
+    idx = build_index(f">chr\n{text}\n")
+
+    B, L = 8 * n_devices, 50
+    names, seqs, quals = [], [], []
+    for b in range(B):
+        s = rng.integers(0, idx.n - L)
+        rd = idx.joined[s : s + L].copy()
+        if b % 3 == 0:
+            rd[rng.integers(0, L)] = rng.integers(0, 4)
+        if b % 2 == 0:
+            rd = dna.revcomp(rd)
+        names.append(f"r{b}")
+        seqs.append(dna.decode(rd).encode())
+        quals.append(b"I" * L)
+    batch = make_batch(names, seqs, quals)
+
+    mesh = make_mesh(n_devices)
+    al_mesh = UnpairedAligner(idx, mesh=mesh)
+    al_one = UnpairedAligner(idx)
+    recs_m = al_mesh.align_batch(batch)
+    recs_1 = al_one.align_batch(batch)
+    assert len(recs_m) == len(recs_1)
+    n_aligned = 0
+    for rm, r1 in zip(recs_m, recs_1):
+        t_m = (rm.aligned, rm.fw, rm.ref_id, rm.pos, rm.score, rm.cigar,
+               rm.md, rm.mapq)
+        t_1 = (r1.aligned, r1.fw, r1.ref_id, r1.pos, r1.score, r1.cigar,
+               r1.md, r1.mapq)
+        assert t_m == t_1, f"{rm.name}: {t_m} != {t_1}"
+        n_aligned += rm.aligned
+    assert n_aligned >= B * 3 // 4, f"only {n_aligned}/{B} aligned"

@@ -208,5 +208,7 @@ def test_graft_entry_and_multichip_dryrun():
     import __graft_entry__ as g
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    assert out[0].shape == (128,)
+    # fused pipeline packs: cand_pack [10, C], read_pack [6, B], counters [6]
+    assert out[0].ndim == 2 and out[0].shape[0] == 10
+    assert out[1].shape[0] == 6 and out[2].shape == (6,)
     g.dryrun_multichip(8)
