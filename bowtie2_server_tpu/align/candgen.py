@@ -24,14 +24,16 @@ SwDriver::extendSeeds):
 
 Everything is fixed-shape: branch/element/candidate sets are compacted to
 static capacities with overflow counters; the host falls back to the
-general (slower, unbounded) path when a counter trips.  The seed *schedule*
-(offsets per round, SimpleFunc interval math) is precomputed vectorized on
-the host and shipped as small arrays so device and host semantics can never
-diverge.
+general (slower, unbounded) path when a counter trips.
 
-Outputs are packed into three dense arrays (per-candidate, per-read,
-counters) so a batch costs a constant number of D2H transfers regardless
-of content.
+I/O is tuned for a slow host<->device link (measured ~11 MB/s with ~60 ms
+per-array latency on this rig's TPU tunnel — the device itself runs the
+whole batch in ~12 ms): ONE packed uint8 upload per batch carries bases and
+qualities (byte = code<<6 | min(qual,63); 255 = N), ONE small int32 array
+carries per-read metadata (length/flags/min-score/seed interval — the seed
+schedule itself is recomputed on device with exact integer semantics), and
+ONE packed int32 download carries candidates, per-read selections, and
+overflow counters.
 """
 from __future__ import annotations
 
@@ -53,7 +55,7 @@ def _pow2(n: int, lo: int = 1) -> int:
 
 class CandGenCfg(NamedTuple):
     """Static (hashable) shape/config parameters of one compiled pipeline."""
-    B: int            # reads per batch (padded)
+    B: int            # reads per batch (padded, per shard)
     L: int            # padded read length
     S: int            # max seeds per strand per round
     R: int            # seed rounds (statically unrolled)
@@ -66,7 +68,7 @@ class CandGenCfg(NamedTuple):
     C_pre: int        # resolved-element capacity (pre-dedup)
     C_max: int        # unique-candidate capacity
     sw: SwConfig
-    engine: str       # 'xla' | 'pallas'
+    engine: str       # 'xla' | 'pallas' | 'nodp' (debug)
     boost_thresh: int = 300  # ref: bt2_search.cpp:4086 seedBoostThresh
 
 
@@ -122,28 +124,69 @@ def _seg_max(data, ids, B):
     return jax.ops.segment_max(data, ids, num_segments=B)
 
 
+# meta word 0 bit layout
+_LEN_BITS = 20
+_F_ACT_FW = 1 << 20
+_F_ACT_RC = 1 << 21
+_F_SEED_R0 = 1 << 22
+
+
 # ------------------------------------------------------------- fused kernel -
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
-                   fw_seqs, mm_fw, lens, act_fw, act_rc, minsc,
-                   seed_start, seed_valid, seed_r0_active):
+                   packed, meta, mmtab):
     """One whole search batch on device.
 
-    fw_seqs: [B, L] uint8 codes; mm_fw: [B, L] uint8 per-position mismatch
-    penalties (quality-derived, original orientation); lens: [B] int32;
-    act_fw/act_rc: [B] bool strand-active masks (filters + --nofw/--norc);
-    minsc: [B] int32 score minimums; seed_start: [B, R, S] int32 seed
-    depths (aligned-strand read coords); seed_valid: [B, R, S] bool;
-    seed_r0_active: [B] bool (active and not seed-skipped).
+    packed: [B, L] uint8 — byte 255 = N, else code<<6 | min(qual, 63)
+    meta:   [B, 4] int32 — [len|flag bits, minsc, seed interval, nrounds]
+    mmtab:  [64] int32 — mismatch penalty per (clamped) quality
 
-    Returns (cand_pack [10, C_max] i32, read_pack [6, B] i32,
-             counters [6] i32).
+    Returns out_pack [5, C_max] int32:
+      row 0: (read << 4) | (fw << 2) | (interior << 1) | valid
+      row 1: diag
+      row 2: interior DP score (NEG_INF otherwise)
+      row 3: (bi << 8) | bk
+      row 4: [ (best_ci+1)<<2|has_rect<<1|seeds_failed : B
+             | sec_score : B | exact_mult : B | ...pad...
+             | counters : last 8 ]
     """
     B, L, E = cfg.B, cfg.L, cfg.E
     # joined TEXT length (the BWT has one more row than the text)
     n_text = didx.joined.shape[0]
-    lens = lens.astype(jnp.int32)
+
+    # ---- unpack the transfer-packed batch ----
+    m0 = meta[:, 0]
+    lens = (m0 & ((1 << _LEN_BITS) - 1)).astype(jnp.int32)
+    act_fw = (m0 & _F_ACT_FW) > 0
+    act_rc = (m0 & _F_ACT_RC) > 0
+    seed_r0_active = (m0 & _F_SEED_R0) > 0
+    minsc = meta[:, 1]
+    interval = jnp.maximum(meta[:, 2], 1)
+    nrounds = jnp.maximum(meta[:, 3], 1)
+
+    is_n = packed == 255
+    fw_seqs = jnp.where(is_n, jnp.uint8(5), packed >> 6).astype(jnp.uint8)
+    qual6 = jnp.where(is_n, jnp.uint8(0), packed & 63).astype(jnp.int32)
+    mm_fw = mmtab[qual6].astype(jnp.uint8)
+
+    # ---- device-side seed schedule (exact integer port of
+    # UnpairedAligner.seed_offsets; ref: bt2_search.cpp:3848-3870,
+    # aligner_seed.cpp:523-529) ----
+    S, Ls = cfg.S, cfg.seed_len
+    s_i = jnp.arange(S, dtype=jnp.int32)[None, :]
+    seed_start_l, seed_valid_l = [], []
+    for r in range(cfg.R):
+        ok = (interval > r) & (r < nrounds)
+        off = (interval * r) // nrounds
+        ok &= ~((off > 0) & (Ls + off > lens))
+        nseeds = jnp.where(
+            ok, 1 + jnp.where(lens - off > Ls,
+                              (lens - off - Ls) // interval, 0), 0)
+        seed_start_l.append(off[:, None] + s_i * interval[:, None])
+        seed_valid_l.append(s_i < nseeds[:, None])
+    seed_start = jnp.stack(seed_start_l, axis=1)   # [B, R, S]
+    seed_valid = jnp.stack(seed_valid_l, axis=1)
 
     rc_seqs = _rc_rows(fw_seqs, lens)
     mm_rc = _rev_rows(mm_fw, lens, 0)
@@ -192,12 +235,11 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
 
     # ---- stage 4: seed rounds ----
     # patterns gathered per (read, strand, seed); round-2 gating on device.
-    S = cfg.S
-    sl = jnp.minimum(cfg.seed_len, lens)                # [B]
+    sl = jnp.minimum(Ls, lens)                          # [B]
     seed_ranges = []   # (lane [B*2S], depth, top, bot, valid)
     round_active = seed_r0_active
     seeds_failed_r0 = jnp.zeros(B, bool)
-    js = jnp.arange(cfg.seed_len, dtype=jnp.int32)
+    js = jnp.arange(Ls, dtype=jnp.int32)
 
     for r in range(cfg.R):
         sv = seed_valid[:, r, :] & round_active[:, None]      # [B, S]
@@ -219,7 +261,7 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
             lanes.append(jnp.broadcast_to(
                 (jnp.arange(B, dtype=jnp.int32)
                  + (0 if is_fw else B))[:, None], (B, S)))
-        pat_all = jnp.concatenate(pats).reshape(2 * B * S, cfg.seed_len)
+        pat_all = jnp.concatenate(pats).reshape(2 * B * S, Ls)
         val_all = jnp.concatenate(valids).reshape(-1)
         dep_all = jnp.concatenate(depths).reshape(-1)
         lane_all = jnp.concatenate(lanes).reshape(-1)
@@ -333,6 +375,10 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
         best, bi, bk = call(rd_t, mm_t, lens_c[None, :].astype(jnp.int32),
                             band_t)
         best, bi, bk = best[0], bi[0], bk[0]
+    elif cfg.engine == "nodp":   # debug: skip DP (stage timing)
+        best = (rd_t.sum(0) + band_t.sum(0)).astype(jnp.int32) % 3
+        bi = lens_c - 1
+        bk = best
     else:
         best, bi, bk = _banded_tile_xla(cfg.sw, K, rd_t, mm_t,
                                         lens_c.astype(jnp.int32), band_t)
@@ -352,7 +398,8 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
     best_fwi = _seg_max(fwi, c_read, B)
     is_bf = is_bd & (c_fw.astype(jnp.int32) == best_fwi[c_read])
     cand_i = jnp.arange(Cx, dtype=jnp.int32)
-    best_ci = jnp.maximum(_seg_max(jnp.where(is_bf, cand_i, -1), c_read, B), -1)
+    best_ci = jnp.maximum(_seg_max(jnp.where(is_bf, cand_i, -1), c_read, B),
+                          -1)
 
     bcl = jnp.clip(best_ci, 0, Cx - 1)
     best_end_r = c_end[bcl]
@@ -363,17 +410,58 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
     has_rect = jnp.maximum(
         _seg_max((c_valid & ~interior).astype(jnp.int32), c_read, B), 0)
 
-    cand_pack = jnp.stack([
-        c_read.astype(jnp.int32), c_fw.astype(jnp.int32), c_diag,
-        c_score, c_end, bi, bk, interior.astype(jnp.int32),
-        c_valid.astype(jnp.int32), ws])
-    read_pack = jnp.stack([
-        best_ci, best_sc, sec_sc, exact_mult,
-        seeds_failed_r0.astype(jnp.int32), has_rect])
-    counters = jnp.stack([
-        n_cand, n_elts, cnt_fw, cnt_mr,
-        jnp.int32(cfg.C_max), jnp.int32(cfg.C_pre)])
-    return cand_pack, read_pack, counters
+    # ---- pack outputs (single D2H array) ----
+    row0 = ((c_read << 4) | (c_fw.astype(jnp.int32) << 2)
+            | (interior.astype(jnp.int32) << 1) | c_valid.astype(jnp.int32))
+    row3 = (bi << 8) | jnp.clip(bk, 0, 255)
+    best_pack = (((best_ci + 1) << 2)
+                 | (jnp.minimum(has_rect, 1) << 1)
+                 | seeds_failed_r0.astype(jnp.int32))
+    perread = jnp.concatenate([
+        best_pack, jnp.maximum(sec_sc, NEG), exact_mult])       # [3B]
+    counters = jnp.stack([n_cand, n_elts, cnt_fw, cnt_mr,
+                          jnp.int32(0), jnp.int32(0),
+                          jnp.int32(0), jnp.int32(0)])
+    row4 = jnp.zeros(Cx, jnp.int32)
+    row4 = jax.lax.dynamic_update_slice(row4, perread, (0,))
+    row4 = jax.lax.dynamic_update_slice(row4, counters, (Cx - 8,))
+    out = jnp.stack([row0, c_diag, c_score, row3, row4])
+    return out
+
+
+# ------------------------------------------------------------- multi-chip -
+
+@functools.lru_cache(maxsize=16)
+def _sharded_pipeline(cfg: CandGenCfg, mesh):
+    """shard_map the fused pipeline over the mesh's 'dp' axis: reads are
+    sharded, the index replicated (ref: SURVEY §2.3 — the reference's
+    read-level data parallelism over worker threads maps to SPMD read
+    shards; bt2_search.cpp:4913-4925). Candidate/read indices are remapped
+    to global space on device so the host decode is shard-agnostic."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(didx, packed, meta, mmtab):
+        out = fused_pipeline(didx, cfg, packed, meta, mmtab)
+        s = jax.lax.axis_index("dp").astype(jnp.int32)
+        cvalid = (out[0] & 1) > 0
+        out = out.at[0].set(jnp.where(cvalid, out[0] + ((s * cfg.B) << 4),
+                                      out[0]))
+        # best_ci (stored +1 in the first B slots of row 4) -> global
+        slots = jnp.arange(cfg.C_max) < cfg.B
+        bp = out[4]
+        ci1 = bp >> 2
+        bp2 = jnp.where(slots & (ci1 > 0),
+                        (((ci1 - 1 + s * cfg.C_max) + 1) << 2) | (bp & 3),
+                        bp)
+        out = out.at[4].set(bp2)
+        return out
+
+    return jax.jit(shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P()),
+        out_specs=P(None, "dp"),
+        check_rep=False))
 
 
 # --------------------------------------------------------------- host side -
@@ -386,43 +474,6 @@ def per_len(fn, lens):
     return vals[inv]
 
 
-def seed_schedule(pol, lens, boost):
-    """Vectorized port of UnpairedAligner.seed_offsets (ref:
-    bt2_search.cpp:3848-3870, aligner_seed.cpp:523-529): per-read seed
-    depths and validity for every round, as [B, R, S] arrays.
-
-    Returns (start, valid, S) with S the padded max seed count."""
-    B = len(lens)
-    R = pol.n_seed_rounds
-    Ls = pol.seed_len
-    lens = np.asarray(lens, np.int64)
-    interval = np.maximum(1, per_len(pol.interval.f_int, lens)).astype(np.int64)
-    boost = np.asarray(boost, bool)
-    interval = np.where(boost,
-                        np.maximum(1, (interval * 1.2 + 0.5).astype(np.int64)),
-                        interval)
-    nrounds = np.where(boost, -(-R // 2), R)
-
-    nseeds_max = 1
-    rows = []
-    for r in range(R):
-        ok = (interval > r) & (r < nrounds)
-        off = (interval * r) // nrounds
-        ok &= ~((off > 0) & (Ls + off > lens))
-        nseeds = np.where(ok, 1 + np.where(lens - off > Ls,
-                                           (lens - off - Ls) // interval, 0), 0)
-        rows.append((off, nseeds))
-        nseeds_max = max(nseeds_max, int(nseeds.max(initial=1)))
-    S = _pow2(nseeds_max, lo=4)
-    start = np.zeros((B, R, S), np.int32)
-    valid = np.zeros((B, R, S), bool)
-    s_i = np.arange(S)[None, :]
-    for r, (off, nseeds) in enumerate(rows):
-        start[:, r, :] = (off[:, None] + s_i * interval[:, None]).astype(np.int32)
-        valid[:, r, :] = s_i < nseeds[:, None]
-    return start, valid, S
-
-
 class BatchResult:
     """Decoded outputs of one fused_pipeline run (host numpy)."""
     __slots__ = ("B0", "c_read", "c_fw", "c_diag", "c_score", "c_end",
@@ -430,38 +481,61 @@ class BatchResult:
                  "sec_sc", "exact_mult", "seeds_failed_r0", "has_rect",
                  "overflow")
 
-    def __init__(self, B0, cand_pack, read_pack, counters, cfg):
+    def __init__(self, B0, out, cfg, ndev, K):
         self.B0 = B0
-        n_cand, n_elts, cnt_fw, cnt_mr = (int(counters[0]), int(counters[1]),
-                                          int(counters[2]), int(counters[3]))
-        self.overflow = (n_cand > cfg.C_max or n_elts > cfg.C_pre
-                         or cnt_fw > cfg.k1 or cnt_mr > cfg.k1)
-        valid = cand_pack[8].astype(bool)
-        keep = valid & (cand_pack[0] < B0)
-        self.c_read = cand_pack[0][keep]
-        self.c_fw = cand_pack[1][keep].astype(bool)
-        self.c_diag = cand_pack[2][keep]
-        self.c_score = cand_pack[3][keep]
-        self.c_end = cand_pack[4][keep]
-        self.c_bi = cand_pack[5][keep]
-        self.c_bk = cand_pack[6][keep]
-        self.c_interior = cand_pack[7][keep].astype(bool)
-        self.c_ws = cand_pack[9][keep]
-        # remap best_ci (an index into the packed arrays) to compacted space
+        Cl, Bl = cfg.C_max, cfg.B
+        # per-shard blocks along axis 1
+        row0 = out[0]
+        bp_l, sec_l, mult_l, ctr = [], [], [], []
+        for s in range(ndev):
+            r4 = out[4, s * Cl : (s + 1) * Cl]
+            bp_l.append(r4[:Bl])
+            sec_l.append(r4[Bl : 2 * Bl])
+            mult_l.append(r4[2 * Bl : 3 * Bl])
+            ctr.append(r4[Cl - 8 :])
+        bp = np.concatenate(bp_l)[:B0]
+        sec = np.concatenate(sec_l)[:B0]
+        mult = np.concatenate(mult_l)[:B0]
+        ctr = np.stack(ctr)
+        self.overflow = bool((ctr[:, 0] > cfg.C_max).any()
+                             or (ctr[:, 1] > cfg.C_pre).any()
+                             or (ctr[:, 2] > cfg.k1).any()
+                             or (ctr[:, 3] > cfg.k1).any())
+        valid = (row0 & 1) > 0
+        reads = row0 >> 4
+        keep = valid & (reads < B0)
+        self.c_read = reads[keep]
+        self.c_fw = ((row0 >> 2) & 1).astype(bool)[keep]
+        self.c_interior = ((row0 >> 1) & 1).astype(bool)[keep]
+        self.c_diag = out[1][keep]
+        self.c_score = out[2][keep]
+        self.c_bi = (out[3] >> 8)[keep]
+        self.c_bk = (out[3] & 255)[keep]
+        self.c_ws = self.c_diag - K // 2
+        self.c_end = self.c_ws + self.c_bi + self.c_bk
+        # remap best_ci (packed-array index) to compacted space
         remap = np.cumsum(keep) - 1
-        bc = read_pack[0][:B0]
-        self.best_ci = np.where(bc >= 0, remap[np.clip(bc, 0, len(keep) - 1)],
-                                -1).astype(np.int32)
-        self.best_sc = read_pack[1][:B0]
-        self.sec_sc = read_pack[2][:B0]
-        self.exact_mult = read_pack[3][:B0]
-        self.seeds_failed_r0 = read_pack[4][:B0].astype(bool)
-        self.has_rect = read_pack[5][:B0] > 0
+        bc = (bp >> 2) - 1
+        self.best_ci = np.where(
+            bc >= 0, remap[np.clip(bc, 0, len(keep) - 1)], -1).astype(np.int32)
+        # a best_ci pointing at a dropped candidate (shouldn't happen) -> -1
+        self.sec_sc = sec
+        self.exact_mult = mult
+        self.seeds_failed_r0 = (bp & 1).astype(bool)
+        self.has_rect = ((bp >> 1) & 1).astype(bool)
+        if len(self.c_read):
+            self.best_sc = np.where(
+                self.best_ci >= 0,
+                self.c_score[np.clip(self.best_ci, 0,
+                                     len(self.c_read) - 1)], NEG_INF)
+        else:
+            self.best_ci = np.full(B0, -1, np.int32)
+            self.best_sc = np.full(B0, NEG_INF, np.int64)
 
 
 class CandGen:
-    """Host driver of the fused device pipeline: padding/bucketing, seed
-    schedules, dispatch (async) and fetch (single packed transfer)."""
+    """Host driver of the fused device pipeline: padding/bucketing, packed
+    transfers, dispatch (async) and fetch (single packed transfer)."""
 
     def __init__(self, dev_fw, dev_mirror, idx, pol, sw_cfg, engine: str,
                  K: int, device=None, mesh=None):
@@ -477,6 +551,15 @@ class CandGen:
         self.sw_cfg = sw_cfg
         self.engine = engine
         self.K = K
+        self._mmtab_dev = None
+
+    def _mmtab(self, mmtab):
+        if self._mmtab_dev is None:
+            # index by 6-bit clamped quality (matches scoring.mm_penalties
+            # which clamps at 40 anyway)
+            self._mmtab_dev = jax.device_put(
+                mmtab[:64].astype(np.int32))
+        return self._mmtab_dev
 
     def dispatch(self, seqs, quals, lens, act_fw, act_rc, minsc, mmtab,
                  boost=None, seed_skip=None):
@@ -493,26 +576,40 @@ class CandGen:
             boost = np.zeros(B0, bool)
         if seed_skip is None:
             seed_skip = np.zeros(B0, bool)
-        start, valid, S = seed_schedule(pol, lens, boost)
 
-        def padB(a, fill=0):
-            if a.shape[0] == Bp:
-                return a
-            out = np.full((Bp,) + a.shape[1:], fill, a.dtype)
-            out[:B0] = a
-            return out
+        # per-read interval with exact host SimpleFunc semantics
+        # (ref: simple_func.h C-cast truncation)
+        interval = np.maximum(
+            1, per_len(pol.interval.f_int, lens)).astype(np.int64)
+        boost = np.asarray(boost, bool)
+        interval = np.where(
+            boost, np.maximum(1, (interval * 1.2 + 0.5).astype(np.int64)),
+            interval)
+        nrounds = np.where(boost, -(-pol.n_seed_rounds // 2),
+                           pol.n_seed_rounds)
+        # static max seed count for this batch shape
+        with np.errstate(divide="ignore"):
+            nseeds_ub = 1 + np.maximum(
+                0, (np.asarray(lens, np.int64) - pol.seed_len)) // interval
+        S = _pow2(int(nseeds_ub.max(initial=1)), lo=4)
 
-        seqs_p = np.full((Bp, Lp), 5, np.uint8)
-        seqs_p[:B0, :L0] = seqs
-        mm_p = np.zeros((Bp, Lp), np.uint8)
-        mm_p[:B0, :L0] = mmtab[np.clip(quals, 0, 255)].astype(np.uint8)
-        lens_p = padB(np.asarray(lens, np.int32))
-        act_fw_p = padB(np.asarray(act_fw, bool))
-        act_rc_p = padB(np.asarray(act_rc, bool))
-        minsc_p = padB(np.asarray(minsc, np.int32))
-        start_p = padB(start)
-        valid_p = padB(valid)
-        r0_p = padB((act_fw | act_rc) & ~np.asarray(seed_skip, bool))
+        packed = np.full((Bp, Lp), 255, np.uint8)
+        q6 = np.minimum(np.asarray(quals), 63).astype(np.uint8)
+        enc = ((np.asarray(seqs) & 3) << 6) | q6
+        enc = np.where(np.asarray(seqs) > 3, 255, enc).astype(np.uint8)
+        packed[:B0, :L0] = enc
+
+        meta = np.zeros((Bp, 4), np.int32)
+        m0 = np.asarray(lens, np.int64).copy()
+        m0 |= np.where(np.asarray(act_fw, bool), _F_ACT_FW, 0)
+        m0 |= np.where(np.asarray(act_rc, bool), _F_ACT_RC, 0)
+        r0 = (np.asarray(act_fw, bool) | np.asarray(act_rc, bool)) \
+            & ~np.asarray(seed_skip, bool)
+        m0 |= np.where(r0, _F_SEED_R0, 0)
+        meta[:B0, 0] = m0.astype(np.int32)
+        meta[:B0, 1] = np.asarray(minsc, np.int32)
+        meta[:B0, 2] = interval.astype(np.int32)
+        meta[:B0, 3] = nrounds.astype(np.int32)
 
         GRID = 4 << 20
         Bl = B_local
@@ -524,48 +621,13 @@ class CandGen:
             k1=_pow2(4 * Bl, lo=4096), chunk_w=cw, n_chunks=n_chunks,
             C_pre=_pow2(16 * Bl, lo=8192), C_max=_pow2(4 * Bl, lo=4096),
             sw=self.sw_cfg, engine=self.engine)
-        args = (jnp.asarray(seqs_p), jnp.asarray(mm_p),
-                jnp.asarray(lens_p), jnp.asarray(act_fw_p),
-                jnp.asarray(act_rc_p), jnp.asarray(minsc_p),
-                jnp.asarray(start_p), jnp.asarray(valid_p), jnp.asarray(r0_p))
+        args = (jnp.asarray(packed), jnp.asarray(meta), self._mmtab(mmtab))
         if self.mesh is not None:
             out = _sharded_pipeline(cfg, self.mesh)(self.didx, *args)
         else:
             out = fused_pipeline(self.didx, cfg, *args)
-        return (B0, out, cfg)
+        return (B0, out, cfg, ndev)
 
     def fetch(self, handle) -> BatchResult:
-        B0, (cand_pack, read_pack, counters), cfg = handle
-        return BatchResult(B0, np.asarray(cand_pack), np.asarray(read_pack),
-                           np.asarray(counters), cfg)
-
-
-# ------------------------------------------------------------- multi-chip -
-
-@functools.lru_cache(maxsize=16)
-def _sharded_pipeline(cfg: CandGenCfg, mesh):
-    """shard_map the fused pipeline over the mesh's 'dp' axis: reads are
-    sharded, the index replicated (ref: SURVEY §2.3 — the reference's
-    read-level data parallelism over worker threads maps to SPMD read
-    shards; bt2_search.cpp:4913-4925). Candidate/read indices are remapped
-    to global space on device so the host decode is shard-agnostic."""
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    def local_fn(didx, fw_seqs, mm_fw, lens, act_fw, act_rc, minsc,
-                 seed_start, seed_valid, seed_r0):
-        cp, rp, ct = fused_pipeline(didx, cfg, fw_seqs, mm_fw, lens,
-                                    act_fw, act_rc, minsc, seed_start,
-                                    seed_valid, seed_r0)
-        s = jax.lax.axis_index("dp").astype(jnp.int32)
-        cvalid = cp[8] > 0
-        cp = cp.at[0].set(jnp.where(cvalid, cp[0] + s * cfg.B, cp[0]))
-        bc = rp[0]
-        rp = rp.at[0].set(jnp.where(bc >= 0, bc + s * cfg.C_max, bc))
-        return cp, rp, ct
-
-    return jax.jit(shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(),) + (P("dp"),) * 9,
-        out_specs=(P(None, "dp"), P(None, "dp"), P("dp")),
-        check_rep=False))
+        B0, out, cfg, ndev = handle
+        return BatchResult(B0, np.asarray(out), cfg, ndev, self.K)
