@@ -2,20 +2,17 @@
 
 The round-1 pipeline ran each stage as a separate device call and did
 candidate bookkeeping (dedup sets, window assembly, per-read selection) in
-Python, costing ~10 blocking host<->device round-trips and ~125 us/read of
-interpreter time. This module fuses the whole per-batch search into ONE
-jitted program (ref: the reference's whole hot loop,
-bt2_search.cpp:3050-4197 multiseedSearchWorker + aligner_sw_driver.cpp:756
-SwDriver::extendSeeds):
+Python. This module fuses the whole per-batch search into ONE jitted
+program (ref: the reference's whole hot loop, bt2_search.cpp:3050-4197
+multiseedSearchWorker + aligner_sw_driver.cpp:756 SwDriver::extendSeeds):
 
-  1. reverse-complement + recorded backward pass, both strands
-     (ref: aligner_seed.cpp:854 exactSweep)
-  2. 1-mismatch branch search, fw halves on the fw index, reversed right
-     halves on the mirror index (ref: aligner_seed.cpp:973 oneMmSearch)
-  3. seed rounds with device-side round-2 gating on hit-repetitiveness
-     (ref: bt2_search.cpp:3824-4089, seedBoostThresh)
-  4. SA resolution of every surviving range — one gather into the full SA
-     (ref: group_walk.h, redesigned)
+  1. recorded backward pass of both strands through the fw FM index
+     (ref: aligner_seed.cpp:854 exactSweep) -> exact ranges + per-suffix
+     ranges that seed the substitution branches
+  2. 1-substitution branch search (ref: aligner_seed.cpp:973 oneMmSearch)
+  3. seed rounds (ref: bt2_search.cpp:3824-4089, seedBoostThresh gating)
+  4. SA/position resolution of every surviving range — one gather
+     (ref: group_walk.h, redesigned away)
   5. candidate dedup on (lane, diagonal) via a 2-key lexicographic sort
      (ref: SwDriver seenDiags, aligner_sw_driver.h:300)
   6. banded affine-gap DP over every interior candidate (ops/sw_banded.py)
@@ -26,14 +23,32 @@ Everything is fixed-shape: branch/element/candidate sets are compacted to
 static capacities with overflow counters; the host falls back to the
 general (slower, unbounded) path when a counter trips.
 
-I/O is tuned for a slow host<->device link (measured ~11 MB/s with ~60 ms
-per-array latency on this rig's TPU tunnel — the device itself runs the
-whole batch in ~12 ms): ONE packed uint8 upload per batch carries bases and
-qualities (byte = code<<6 | min(qual,63); 255 = N), ONE small int32 array
-carries per-read metadata (length/flags/min-score/seed interval — the seed
-schedule itself is recomputed on device with exact integer semantics), and
-ONE packed int32 download carries candidates, per-read selections, and
-overflow counters.
+This backend is GATHER-LATENCY-bound: a chained LF step costs ~0.5 ms at
+16k lanes regardless of arithmetic. The pipeline therefore has two
+statically-selected shapes:
+
+* the fast shape (every read has enough seeds that any single-position
+  mismatch leaves at least one seed intact — nseeds >= ceil(Ls/ival)+1):
+  ONE recorded FM pass (fw index, both strands, static-column char reads
+  from a dual left/right-aligned upload); substitution branches on the
+  left half only via `lf_all4` (one side gather for all 4 characters) with
+  NO continuation pass — the unmatched left part is verified by the DP
+  stage; seed search via the sorted k-mer position table (index/kmer.py)
+  instead of per-seed LF chains — rolling keys are computed arithmetically
+  (no gathers) and resolved by fixed-trip binary search. Right-half
+  substitutions are covered by seed hits (a seed avoiding the mismatch
+  matches exactly), so the mirror-index pass disappears entirely.
+
+* the short-read shape (`cfg.has_short`): the general bidirectional
+  machinery — mirror-index recorded pass, both-half substitution branches
+  with a continuation loop, FM seed search with per-read truncated seeds.
+
+I/O is tuned for a slow host<->device link: ONE packed uint8 upload per
+batch carries bases and qualities in both alignments (byte = code<<6 |
+min(qual,63); 255 = pad/N), ONE small int32 array carries per-read
+metadata (the seed schedule is recomputed on device with exact integer
+semantics), and ONE packed int32 download carries candidates, per-read
+selections, and overflow counters.
 """
 from __future__ import annotations
 
@@ -44,6 +59,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..index import kmer as kmod
 from ..ops import fm as dfm
 from ..ops.sw import LANES, NEG_INF, SwConfig
 from ..ops.sw_banded import _banded_tile_xla, _pallas_banded
@@ -63,12 +79,17 @@ class CandGenCfg(NamedTuple):
     seed_len: int
     K: int            # DP band width
     k1: int           # 1mm surviving-branch capacity per chunk
-    chunk_w: int      # 1mm branch positions per chunk
+    chunk_w: int      # 1mm branch positions per chunk (short shape)
     n_chunks: int
     C_pre: int        # resolved-element capacity (pre-dedup)
     C_max: int        # unique-candidate capacity
     sw: SwConfig
     engine: str       # 'xla' | 'pallas' | 'nodp' (debug)
+    has_short: bool = False   # general bidirectional shape (see module doc)
+    kmer_steps: int = 1       # binary-search trip count of the seed table
+    n_hi: int = 16            # key split of the seed table
+    n_lo: int = 6
+    bbits: int = 20
     boost_thresh: int = 300  # ref: bt2_search.cpp:4086 seedBoostThresh
 
 
@@ -76,9 +97,19 @@ class DeviceIndex(NamedTuple):
     """Device-resident index arrays shared by all batches (a pytree)."""
     fw: dfm.DeviceFm
     mirror: dfm.DeviceFm
-    joined: jax.Array       # [n] uint8 packed unambiguous text
-    run_starts: jax.Array   # [R] int32 unambiguous-run joined starts
-    run_ends: jax.Array     # [R] int32 run joined ends
+    joined: jax.Array        # [n] uint8 packed unambiguous text
+    joined_words: jax.Array  # [ceil(n/16)] uint32, 16 bases/word, LE
+    run_starts: jax.Array    # [R] int32 unambiguous-run joined starts
+    run_ends: jax.Array      # [R] int32 run joined ends
+
+
+def _pack_joined_words(joined: np.ndarray) -> np.ndarray:
+    n = len(joined)
+    nw = (n + 15) // 16
+    pad = np.zeros(nw * 16, np.uint32)
+    pad[:n] = joined
+    return (pad.reshape(-1, 16) << (2 * np.arange(16, dtype=np.uint32))
+            ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
 
 
 def make_device_index(idx, device=None) -> DeviceIndex:
@@ -89,6 +120,7 @@ def make_device_index(idx, device=None) -> DeviceIndex:
         fw=dfm.to_device(idx.fw, device),
         mirror=dfm.to_device(idx.mirror, device),
         joined=put(idx.joined),
+        joined_words=put(_pack_joined_words(idx.joined)),
         run_starts=put(run_starts),
         run_ends=put(run_ends),
     )
@@ -124,6 +156,25 @@ def _seg_max(data, ids, B):
     return jax.ops.segment_max(data, ids, num_segments=B)
 
 
+def _rolling_keys(codes4, n_pack: int, shift0: int, reverse: bool):
+    """Rolling 2-bit packed keys over [B, L] code rows (VPU only, no
+    gathers). Forward: key[j] packs codes[j+shift0 .. j+shift0+n_pack).
+    Reverse: key[j] packs codes[j-shift0], codes[j-shift0-1], ... (used for
+    reverse-complement windows indexed by their last fw position)."""
+    B, L = codes4.shape
+    acc = jnp.zeros((B, L), jnp.uint32)
+    if not reverse:
+        pad = jnp.pad(codes4, ((0, 0), (0, shift0 + n_pack)))
+        for t in range(shift0, shift0 + n_pack):
+            acc = (acc << 2) | pad[:, t : t + L]
+    else:
+        m = shift0 + n_pack
+        pad = jnp.pad(codes4, ((0, 0), (m, 0)))
+        for t in range(shift0, shift0 + n_pack):
+            acc = (acc << 2) | pad[:, m - t : m - t + L]
+    return acc
+
+
 # meta word 0 bit layout
 _LEN_BITS = 20
 _F_ACT_FW = 1 << 20
@@ -134,13 +185,14 @@ _F_SEED_R0 = 1 << 22
 # ------------------------------------------------------------- fused kernel -
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
-                   packed, meta, mmtab):
+def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
+                   packed2, meta, mmtab):
     """One whole search batch on device.
 
-    packed: [B, L] uint8 — byte 255 = N, else code<<6 | min(qual, 63)
-    meta:   [B, 4] int32 — [len|flag bits, minsc, seed interval, nrounds]
-    mmtab:  [64] int32 — mismatch penalty per (clamped) quality
+    packed2: [2, B, L] uint8 — byte 255 = pad/N, else code<<6|min(qual,63);
+             slot 0 left-aligned, slot 1 right-aligned
+    meta:    [B, 4] int32 — [len|flag bits, minsc, seed interval, nrounds]
+    mmtab:   [64] int32 — mismatch penalty per (clamped) quality
 
     Returns out_pack [5, C_max] int32:
       row 0: (read << 4) | (fw << 2) | (interior << 1) | valid
@@ -165,10 +217,15 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
     interval = jnp.maximum(meta[:, 2], 1)
     nrounds = jnp.maximum(meta[:, 3], 1)
 
-    is_n = packed == 255
-    fw_seqs = jnp.where(is_n, jnp.uint8(5), packed >> 6).astype(jnp.uint8)
-    qual6 = jnp.where(is_n, jnp.uint8(0), packed & 63).astype(jnp.int32)
+    la, ra = packed2[0], packed2[1]
+    is_n = la == 255
+    fw_seqs = jnp.where(is_n, jnp.uint8(5), la >> 6).astype(jnp.uint8)
+    qual6 = jnp.where(is_n, jnp.uint8(0), la & 63).astype(jnp.int32)
     mm_fw = mmtab[qual6].astype(jnp.uint8)
+    ra_codes = jnp.where(ra == 255, jnp.uint8(5), ra >> 6).astype(jnp.int32)
+    la_codes = fw_seqs.astype(jnp.int32)
+    comp_la = jnp.where(la_codes <= 3, 3 - la_codes, la_codes)
+    comp_ra = jnp.where(ra_codes <= 3, 3 - ra_codes, ra_codes)
 
     # ---- device-side seed schedule (exact integer port of
     # UnpairedAligner.seed_offsets; ref: bt2_search.cpp:3848-3870,
@@ -196,8 +253,30 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
     act2 = jnp.concatenate([act_fw, act_rc])
     half2 = lens2 // 2
 
-    # ---- stage 1+2: recorded backward pass (fw index) + exact ranges ----
-    tops, bots = dfm.backward_search_record_body(didx.fw, both, lens2)
+    # ---- stage 1: recorded backward pass, both strands on the fw index ----
+    # Static-column character reads: the fw strand steps right-to-left over
+    # the right-aligned layout; the rc strand's char rc[len-1-s] equals
+    # comp(fw[s]), a left-aligned static column (ref: exactSweep's fw/rc
+    # interleaving for prefetch overlap, aligner_seed.cpp:854-933).
+    def rec_body(step, carry):
+        top, bot, tops, bots = carry
+        c_f = jax.lax.dynamic_slice_in_dim(ra_codes, L - 1 - step, 1, 1)[:, 0]
+        c_r = jax.lax.dynamic_slice_in_dim(comp_la, step, 1, 1)[:, 0]
+        c = jnp.concatenate([c_f, c_r])
+        nt, nb = dfm.lf_step(didx.fw, c, top, bot)
+        active = step < lens2
+        top = jnp.where(active, nt, top)
+        bot = jnp.where(active, nb, bot)
+        tops = jax.lax.dynamic_update_index_in_dim(tops, top, step + 1, 1)
+        bots = jax.lax.dynamic_update_index_in_dim(bots, bot, step + 1, 1)
+        return top, bot, tops, bots
+
+    top0 = jnp.zeros(2 * B, jnp.int32)
+    bot0 = jnp.broadcast_to(didx.fw.n.astype(jnp.int32), (2 * B,))
+    tops = jnp.zeros((2 * B, L + 1), jnp.int32).at[:, 0].set(top0)
+    bots = jnp.zeros((2 * B, L + 1), jnp.int32).at[:, 0].set(bot0)
+    _, _, tops, bots = jax.lax.fori_loop(0, L, rec_body,
+                                         (top0, bot0, tops, bots))
     lane_i = jnp.arange(2 * B)
     et = tops[lane_i, jnp.clip(lens2, 0, L)]
     eb = bots[lane_i, jnp.clip(lens2, 0, L)]
@@ -206,110 +285,217 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
     exact_mult = jnp.minimum(exact_cnt[:B] + exact_cnt[B:],
                              jnp.uint32(1 << 30)).astype(jnp.int32)
 
-    # ---- stage 3: 1mm branches (ref: oneMmSearch case split at middle) ----
-    def one_mm(fm, pat, hi, tops_, bots_):
-        """Chunked substitution-branch search; returns per-chunk compacted
-        (lane, top, bot, full_ok) lists + max survivor count."""
-        outs, max_cnt = [], jnp.int32(0)
-        for c in range(cfg.n_chunks):
-            cb, cm, pos, top, bot, count = dfm.one_mm_phase0_body(
-                fm, pat, lens2, hi, tops_, bots_,
-                c * cfg.chunk_w, cfg.chunk_w, cfg.k1)
-            st = dfm.one_mm_phase1_body(fm, pat, cb, pos, top, bot,
-                                        L // 2 + 2)
-            posf, topf, botf = st[0], st[1], st[2]
-            ok = (cb >= 0) & (posf < 0) & (topf < botf)
-            outs.append((cb, topf, botf, ok))
-            max_cnt = jnp.maximum(max_cnt, count)
-        return outs, max_cnt
-
-    pat_i8 = both.astype(jnp.int8)
-    hits_fw, cnt_fw = one_mm(didx.fw, pat_i8,
-                             jnp.where(act2, half2, 0), tops, bots)
-
-    rev2 = _rev_rows(both, lens2, 5)
-    tops_m, bots_m = dfm.backward_search_record_body(didx.mirror, rev2, lens2)
-    hits_mr, cnt_mr = one_mm(didx.mirror, rev2.astype(jnp.int8),
-                             jnp.where(act2, lens2 - half2, 0),
-                             tops_m, bots_m)
-
-    # ---- stage 4: seed rounds ----
-    # patterns gathered per (read, strand, seed); round-2 gating on device.
-    sl = jnp.minimum(Ls, lens)                          # [B]
-    seed_ranges = []   # (lane [B*2S], depth, top, bot, valid)
-    round_active = seed_r0_active
-    seeds_failed_r0 = jnp.zeros(B, bool)
-    js = jnp.arange(Ls, dtype=jnp.int32)
-
-    for r in range(cfg.R):
-        sv = seed_valid[:, r, :] & round_active[:, None]      # [B, S]
-        start_fw = seed_start[:, r, :]                        # [B, S]
-        start_rc = lens[:, None] - start_fw - sl[:, None]
-        pats, valids, depths, lanes = [], [], [], []
-        for is_fw, seqs_, starts, act_s in ((True, fw_seqs, start_fw, act_fw),
-                                            (False, rc_seqs, start_rc, act_rc)):
-            idxg = starts[:, :, None] + js[None, None, :]     # [B, S, k]
-            idxc = jnp.clip(idxg, 0, L - 1)
-            pat = seqs_[jnp.arange(B)[:, None, None], idxc]
-            in_seed = js[None, None, :] < sl[:, None, None]
-            has_n = jnp.any((pat > 3) & in_seed, axis=2)
-            v = sv & act_s[:, None] & ~has_n & (starts >= 0)
-            pat = jnp.where(in_seed, pat, 5)
-            pats.append(pat)
-            valids.append(v)
-            depths.append(starts)
-            lanes.append(jnp.broadcast_to(
-                (jnp.arange(B, dtype=jnp.int32)
-                 + (0 if is_fw else B))[:, None], (B, S)))
-        pat_all = jnp.concatenate(pats).reshape(2 * B * S, Ls)
-        val_all = jnp.concatenate(valids).reshape(-1)
-        dep_all = jnp.concatenate(depths).reshape(-1)
-        lane_all = jnp.concatenate(lanes).reshape(-1)
-        slen_all = jnp.repeat(sl, S, total_repeat_length=B * S)
-        slen_all = jnp.concatenate([slen_all, slen_all])
-        stop, sbot = dfm.backward_search_body(
-            didx.fw, pat_all, jnp.where(val_all, slen_all, 0), use_ftab=True)
-        hit = val_all & (stop < sbot)
-        seed_ranges.append((lane_all, dep_all, stop, sbot, hit))
-
-        # round stats per read (ref: averageHitsPerSeed, bt2_search.cpp:4086)
-        read_of = lane_all % B
-        inst = jax.ops.segment_sum(val_all.astype(jnp.int32), read_of,
-                                   num_segments=B)
-        nonz = jax.ops.segment_sum(hit.astype(jnp.int32), read_of,
-                                   num_segments=B)
-        tot = jax.ops.segment_sum(
-            jnp.where(hit, sbot - stop, 0).astype(jnp.int32), read_of,
-            num_segments=B)
-        if r == 0:
-            seeds_failed_r0 = seed_r0_active & ((inst == 0) | (nonz == 0))
-        round_active = round_active & (inst > 0) & (nonz > 0) & \
-            (tot >= cfg.boost_thresh * nonz)
-
-    # ---- stage 5: assemble ranges -> elements -> resolve ----
-    r_lane = [lane_i, ]
+    # range sources: (lane, depth, top, cnt, src) with src 0=fw SA,
+    # 1=mirror SA, 2=seed position table
+    r_lane = [lane_i]
     r_depth = [jnp.zeros(2 * B, jnp.int32)]
     r_top = [et]
     r_cnt = [jnp.minimum(jnp.where(exact_ok, eb - et, 0), E)]
-    r_mirror = [jnp.zeros(2 * B, bool)]
-    for src, is_m in ((hits_fw, False), (hits_mr, True)):
-        for cb, topf, botf, ok in src:
-            r_lane.append(jnp.clip(cb, 0, 2 * B - 1))
-            r_depth.append(jnp.zeros(cfg.k1, jnp.int32))
-            r_top.append(topf)
-            r_cnt.append(jnp.minimum(jnp.where(ok, botf - topf, 0), E))
-            r_mirror.append(jnp.full(cfg.k1, is_m, bool))
-    for lane_all, dep_all, stop, sbot, hit in seed_ranges:
-        r_lane.append(lane_all)
-        r_depth.append(dep_all)
-        r_top.append(stop)
-        r_cnt.append(jnp.minimum(jnp.where(hit, sbot - stop, 0), E))
-        r_mirror.append(jnp.zeros(lane_all.shape[0], bool))
+    r_src = [jnp.zeros(2 * B, jnp.int32)]
+
+    # ---- stage 2: substitution branches ----
+    if not cfg.has_short:
+        # Fast shape: left-half branches only, all 4 characters from one
+        # side gather, NO continuation — the unmatched left part is
+        # DP-verified. Right-half substitutions are subsumed by seed hits
+        # (every read in this shape has a seed avoiding any one position).
+        P = L // 2
+        p_idx = jnp.arange(P, dtype=jnp.int32)[None, :]
+        s_idx = lens2[:, None] - 1 - p_idx                       # [2B, P]
+        s_c = jnp.clip(s_idx, 0, L)
+        t0 = jnp.take_along_axis(tops, s_c, axis=1)
+        b0 = jnp.take_along_axis(bots, s_c, axis=1)
+        orig = jnp.concatenate([la_codes[:, :P],
+                                comp_ra[:, L - P:][:, ::-1]])    # [2B, P]
+        bvalid = ((p_idx < half2[:, None]) & (t0 < b0) & (orig <= 3)
+                  & act2[:, None])
+        tf = jnp.where(bvalid, t0, 0).reshape(-1)
+        bf = jnp.where(bvalid, b0, 0).reshape(-1)
+        nt4, nb4 = dfm.lf_all4(didx.fw, tf, bf)                  # [2B*P, 4]
+        x = jnp.arange(4, dtype=jnp.int32)[None, :]
+        alive = ((nt4 < nb4) & (x != orig.reshape(-1, 1))
+                 & bvalid.reshape(-1, 1))
+        cnt_fw = jnp.sum(alive.astype(jnp.int32))
+        aflat = alive.reshape(-1)
+        N_br = aflat.shape[0]
+        bidx = jnp.nonzero(aflat, size=cfg.k1, fill_value=N_br)[0]
+        bsafe = jnp.clip(bidx, 0, N_br - 1)
+        bpad = bidx >= N_br
+        b_lane = jnp.where(bpad, 0, bsafe // (P * 4))
+        b_p = jnp.where(bpad, 0, (bsafe // 4) % P)
+        b_topv = jnp.where(bpad, 0, nt4.reshape(-1)[bsafe])
+        b_cntv = jnp.where(bpad, 0,
+                           (nb4.reshape(-1) - nt4.reshape(-1))[bsafe])
+        r_lane.append(b_lane.astype(jnp.int32))
+        r_depth.append(b_p.astype(jnp.int32))
+        r_top.append(b_topv.astype(jnp.int32))
+        r_cnt.append(jnp.minimum(b_cntv, E).astype(jnp.int32))
+        r_src.append(jnp.zeros(cfg.k1, jnp.int32))
+        cnt_mr = jnp.int32(0)
+    else:
+        # General shape (short reads): both halves with a continuation
+        # loop, right halves on the mirror index (ref: oneMmSearch's case
+        # split at the read middle, aligner_seed.cpp:973).
+        def one_mm(fm, pat, hi, tops_, bots_):
+            outs, max_cnt = [], jnp.int32(0)
+            for c in range(cfg.n_chunks):
+                cb, cm, pos, top, bot, count = dfm.one_mm_phase0_body(
+                    fm, pat, lens2, hi, tops_, bots_,
+                    c * cfg.chunk_w, cfg.chunk_w, cfg.k1)
+                st = dfm.one_mm_phase1_body(fm, pat, cb, pos, top, bot,
+                                            L // 2 + 2)
+                posf, topf, botf = st[0], st[1], st[2]
+                ok = (cb >= 0) & (posf < 0) & (topf < botf)
+                outs.append((cb, topf, botf, ok))
+                max_cnt = jnp.maximum(max_cnt, count)
+            return outs, max_cnt
+
+        pat_i8 = both.astype(jnp.int8)
+        hits_fw, cnt_fw = one_mm(didx.fw, pat_i8,
+                                 jnp.where(act2, half2, 0), tops, bots)
+        rev2 = _rev_rows(both, lens2, 5)
+        tops_m, bots_m = dfm.backward_search_record_body(
+            didx.mirror, rev2, lens2)
+        hits_mr, cnt_mr = one_mm(didx.mirror, rev2.astype(jnp.int8),
+                                 jnp.where(act2, lens2 - half2, 0),
+                                 tops_m, bots_m)
+        for src, is_m in ((hits_fw, False), (hits_mr, True)):
+            for cb, topf, botf, ok in src:
+                r_lane.append(jnp.clip(cb, 0, 2 * B - 1))
+                r_depth.append(jnp.zeros(cfg.k1, jnp.int32))
+                r_top.append(topf)
+                r_cnt.append(jnp.minimum(jnp.where(ok, botf - topf, 0), E))
+                r_src.append(jnp.full(cfg.k1, 1 if is_m else 0, jnp.int32))
+
+    # ---- stage 3: seed rounds ----
+    round_active = seed_r0_active
+    seeds_failed_r0 = jnp.zeros(B, bool)
+
+    if not cfg.has_short:
+        # k-mer position table: rolling keys (no gathers), fixed-trip
+        # binary search (index/kmer.py). All reads here have len >= Ls.
+        n_hi, n_lo = cfg.n_hi, cfg.n_lo
+        codes4f = jnp.where(la_codes <= 3, la_codes, 0).astype(jnp.uint32)
+        khi_fw = _rolling_keys(codes4f, n_hi, 0, False)
+        klo_fw = (_rolling_keys(codes4f, n_lo, n_hi, False)
+                  if n_lo else jnp.zeros_like(khi_fw))
+        codes4r = jnp.where(ra_codes <= 3, comp_ra, 0).astype(jnp.uint32)
+        khi_rc = _rolling_keys(codes4r, n_hi, 0, True)
+        klo_rc = (_rolling_keys(codes4r, n_lo, n_hi, True)
+                  if n_lo else jnp.zeros_like(khi_rc))
+        # N-in-window flags, shared by both strands (the rc seed at
+        # start_rc covers fw positions [start_fw, start_fw+Ls))
+        ncum = jnp.pad(jnp.cumsum(is_n.astype(jnp.int32), axis=1),
+                       ((0, 0), (1, 0)))                        # [B, L+1]
+        ncum = jnp.pad(ncum, ((0, 0), (0, Ls)), mode="edge")
+
+        for r in range(cfg.R):
+            sv = seed_valid[:, r, :] & round_active[:, None]     # [B, S]
+            d_fw = seed_start[:, r, :]                           # [B, S]
+            d_rc = lens[:, None] - d_fw - Ls
+            dc = jnp.clip(d_fw, 0, L - 1)
+            bsel = jnp.arange(B)[:, None]
+            q_hi_f = khi_fw[bsel, dc]
+            q_lo_f = klo_fw[bsel, dc]
+            # rc window indexed by its last fw position q = d_fw + Ls - 1;
+            # ra column of fw position k is L - len + k
+            qcol = jnp.clip(L - lens[:, None] + d_fw + Ls - 1, 0, L - 1)
+            q_hi_r = khi_rc[bsel, qcol]
+            q_lo_r = klo_rc[bsel, qcol]
+            win_n = (ncum[bsel, jnp.clip(d_fw + Ls, 0, ncum.shape[1] - 1)]
+                     - ncum[bsel, dc]) > 0
+            ok_f = sv & act_fw[:, None] & ~win_n & (d_fw >= 0)
+            ok_r = sv & act_rc[:, None] & ~win_n & (d_rc >= 0)
+            q_hi = jnp.concatenate([q_hi_f, q_hi_r]).reshape(-1)
+            q_lo = jnp.concatenate([q_lo_f, q_lo_r]).reshape(-1)
+            val_all = jnp.concatenate([ok_f, ok_r]).reshape(-1)
+            dep_all = jnp.concatenate([d_fw, d_rc]).reshape(-1)
+            lane_all = jnp.concatenate([
+                jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                                 (B, S)),
+                jnp.broadcast_to((jnp.arange(B, dtype=jnp.int32)
+                                  + B)[:, None], (B, S))]).reshape(-1)
+            start, cnt = kmod.lookup_body(dkm, q_hi, q_lo, n_hi,
+                                          cfg.bbits, cfg.kmer_steps)
+            cnt = jnp.where(val_all, cnt, 0)
+            hit = val_all & (cnt > 0)
+            r_lane.append(lane_all)
+            r_depth.append(dep_all)
+            r_top.append(start.astype(jnp.int32))
+            r_cnt.append(jnp.minimum(cnt, E).astype(jnp.int32))
+            r_src.append(jnp.full(lane_all.shape[0], 2, jnp.int32))
+
+            read_of = lane_all % B
+            inst = jax.ops.segment_sum(val_all.astype(jnp.int32), read_of,
+                                       num_segments=B)
+            nonz = jax.ops.segment_sum(hit.astype(jnp.int32), read_of,
+                                       num_segments=B)
+            tot = jax.ops.segment_sum(cnt.astype(jnp.int32), read_of,
+                                      num_segments=B)
+            if r == 0:
+                seeds_failed_r0 = seed_r0_active & ((inst == 0) | (nonz == 0))
+            round_active = round_active & (inst > 0) & (nonz > 0) & \
+                (tot >= cfg.boost_thresh * nonz)
+    else:
+        # FM seed search with per-read truncated seeds (general shape)
+        sl = jnp.minimum(Ls, lens)                          # [B]
+        js = jnp.arange(Ls, dtype=jnp.int32)
+        for r in range(cfg.R):
+            sv = seed_valid[:, r, :] & round_active[:, None]      # [B, S]
+            start_fw = seed_start[:, r, :]                        # [B, S]
+            start_rc = lens[:, None] - start_fw - sl[:, None]
+            pats, valids, depths, lanes = [], [], [], []
+            for is_fw, seqs_, starts, act_s in (
+                    (True, fw_seqs, start_fw, act_fw),
+                    (False, rc_seqs, start_rc, act_rc)):
+                idxg = starts[:, :, None] + js[None, None, :]     # [B, S, k]
+                idxc = jnp.clip(idxg, 0, L - 1)
+                pat = seqs_[jnp.arange(B)[:, None, None], idxc]
+                in_seed = js[None, None, :] < sl[:, None, None]
+                has_n = jnp.any((pat > 3) & in_seed, axis=2)
+                v = sv & act_s[:, None] & ~has_n & (starts >= 0)
+                pat = jnp.where(in_seed, pat, 5)
+                pats.append(pat)
+                valids.append(v)
+                depths.append(starts)
+                lanes.append(jnp.broadcast_to(
+                    (jnp.arange(B, dtype=jnp.int32)
+                     + (0 if is_fw else B))[:, None], (B, S)))
+            pat_all = jnp.concatenate(pats).reshape(2 * B * S, Ls)
+            val_all = jnp.concatenate(valids).reshape(-1)
+            dep_all = jnp.concatenate(depths).reshape(-1)
+            lane_all = jnp.concatenate(lanes).reshape(-1)
+            slen_all = jnp.repeat(sl, S, total_repeat_length=B * S)
+            slen_all = jnp.concatenate([slen_all, slen_all])
+            stop, sbot = dfm.backward_search_body(
+                didx.fw, pat_all, jnp.where(val_all, slen_all, 0),
+                use_ftab=True)
+            hit = val_all & (stop < sbot)
+            r_lane.append(lane_all)
+            r_depth.append(dep_all)
+            r_top.append(stop)
+            r_cnt.append(jnp.minimum(jnp.where(hit, sbot - stop, 0), E))
+            r_src.append(jnp.zeros(lane_all.shape[0], jnp.int32))
+
+            read_of = lane_all % B
+            inst = jax.ops.segment_sum(val_all.astype(jnp.int32), read_of,
+                                       num_segments=B)
+            nonz = jax.ops.segment_sum(hit.astype(jnp.int32), read_of,
+                                       num_segments=B)
+            tot = jax.ops.segment_sum(
+                jnp.where(hit, sbot - stop, 0).astype(jnp.int32), read_of,
+                num_segments=B)
+            if r == 0:
+                seeds_failed_r0 = seed_r0_active & ((inst == 0) | (nonz == 0))
+            round_active = round_active & (inst > 0) & (nonz > 0) & \
+                (tot >= cfg.boost_thresh * nonz)
+
+    # ---- stage 4: assemble ranges -> elements -> resolve ----
     r_lane = jnp.concatenate(r_lane).astype(jnp.int32)
     r_depth = jnp.concatenate(r_depth).astype(jnp.int32)
     r_top = jnp.concatenate(r_top).astype(jnp.int32)
     r_cnt = jnp.concatenate(r_cnt).astype(jnp.int32)
-    r_mirror = jnp.concatenate(r_mirror)
+    r_src = jnp.concatenate(r_src)
     NR = r_lane.shape[0]
 
     ev = (jnp.arange(E, dtype=jnp.int32)[None, :] < r_cnt[:, None]).reshape(-1)
@@ -319,18 +505,25 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
     ridx = jnp.clip(sel // E, 0, NR - 1)
     row = r_top[ridx] + (sel % E).astype(jnp.int32)
     lane = r_lane[ridx]
+    src = r_src[ridx]
     read = lane % B
     rl = lens[read]
-    row_c = jnp.clip(row, 0, didx.fw.sa.shape[0] - 1)
-    off = jnp.where(r_mirror[ridx],
-                    didx.mirror.sa[jnp.minimum(
-                        row_c, didx.mirror.sa.shape[0] - 1)].astype(jnp.int32),
-                    didx.fw.sa[row_c].astype(jnp.int32))
-    diag = jnp.where(r_mirror[ridx], n_text - off - rl,
-                     off - r_depth[ridx])
+    n_keys = dkm.pos.shape[0]
+    off_fw = didx.fw.sa[
+        jnp.clip(row, 0, didx.fw.sa.shape[0] - 1)].astype(jnp.int32)
+    off_pos = dkm.pos[jnp.clip(row, 0, n_keys - 1)].astype(jnp.int32)
+    if cfg.has_short:
+        off_mr = didx.mirror.sa[
+            jnp.clip(row, 0, didx.mirror.sa.shape[0] - 1)].astype(jnp.int32)
+        off = jnp.where(src == 1, off_mr, jnp.where(src == 2, off_pos,
+                                                    off_fw))
+        diag = jnp.where(src == 1, n_text - off - rl, off - r_depth[ridx])
+    else:
+        off = jnp.where(src == 2, off_pos, off_fw)
+        diag = off - r_depth[ridx]
     e_ok = ~pad & (diag > -rl)
 
-    # ---- stage 6: dedup on (lane, diag) via 2-key sort ----
+    # ---- stage 5: dedup on (lane, diag) via 2-key sort ----
     key_lane = jnp.where(e_ok, lane, jnp.int32(1 << 30))
     key_diag = diag
     s_lane, s_diag = jax.lax.sort((key_lane, key_diag), num_keys=2)
@@ -346,7 +539,7 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
     c_diag = jnp.where(cpad, 0, s_diag[cselc])
     c_valid = ~cpad
 
-    # ---- stage 7: banded DP over interior candidates ----
+    # ---- stage 6: banded DP over interior candidates ----
     K = cfg.K
     c_read = c_lane % B
     c_fw = c_lane < B
@@ -361,15 +554,30 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
     interior = c_valid & (ws >= lo) & (ws + c_rl + K <= hi_run)
 
     Cx = cfg.C_max
-    wi = ws[:, None] + jnp.arange(L + K, dtype=jnp.int32)[None, :]
-    band = didx.joined[jnp.clip(wi, 0, n_text - 1)]     # [C, L+K]
+    W = L + K
+    # word-packed reference gather: 16 bases per index, then a 16-way
+    # static-shift select (VPU) instead of per-base gathers
+    nw = W // 16 + 2
+    n_words = didx.joined_words.shape[0]
+    wsc = jnp.clip(ws, 0, jnp.maximum(n_text - 1, 1))
+    w0 = wsc >> 4
+    sh = wsc & 15
+    wgat = didx.joined_words[
+        jnp.clip(w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :],
+                 0, n_words - 1)]                       # [C, nw] u32
+    unp = jnp.stack([(wgat >> jnp.uint32(2 * t)) & jnp.uint32(3)
+                     for t in range(16)], axis=2)       # [C, nw, 16]
+    unp = unp.reshape(Cx, nw * 16).astype(jnp.int32)
+    band = jnp.zeros((Cx, W), jnp.int32)
+    for k in range(16):
+        band = band + jnp.where((sh == k)[:, None], unp[:, k : k + W], 0)
     rd_c = both[jnp.clip(c_lane, 0, 2 * B - 1)]          # [C, L]
     mm_c = mm_both[jnp.clip(c_lane, 0, 2 * B - 1)]
     lens_c = jnp.maximum(c_rl, 1)
 
     rd_t = rd_c.T.astype(jnp.int32)
     mm_t = mm_c.T.astype(jnp.int32)
-    band_t = band.T.astype(jnp.int32)
+    band_t = band.T
     if cfg.engine == "pallas":
         call = _pallas_banded(cfg.sw, K, L, Cx // LANES, False)
         best, bi, bk = call(rd_t, mm_t, lens_c[None, :].astype(jnp.int32),
@@ -385,7 +593,7 @@ def fused_pipeline(didx: DeviceIndex, cfg: CandGenCfg,
     c_end = ws + bi + bk
     c_score = jnp.where(interior, best, jnp.int32(NEG_INF))
 
-    # ---- stage 8: per-read selection (best + secbest-distinct-end) ----
+    # ---- stage 7: per-read selection (best + secbest-distinct-end) ----
     sel_ok = interior & (c_score >= minsc[c_read])
     NEG = jnp.int32(NEG_INF)
     sc = jnp.where(sel_ok, c_score, NEG)
@@ -441,8 +649,8 @@ def _sharded_pipeline(cfg: CandGenCfg, mesh):
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local_fn(didx, packed, meta, mmtab):
-        out = fused_pipeline(didx, cfg, packed, meta, mmtab)
+    def local_fn(didx, dkm, packed2, meta, mmtab):
+        out = fused_pipeline(didx, dkm, cfg, packed2, meta, mmtab)
         s = jax.lax.axis_index("dp").astype(jnp.int32)
         cvalid = (out[0] & 1) > 0
         out = out.at[0].set(jnp.where(cvalid, out[0] + ((s * cfg.B) << 4),
@@ -459,7 +667,7 @@ def _sharded_pipeline(cfg: CandGenCfg, mesh):
 
     return jax.jit(shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P("dp"), P("dp"), P()),
+        in_specs=(P(), P(), P(None, "dp", None), P("dp", None), P()),
         out_specs=P(None, "dp"),
         check_rep=False))
 
@@ -540,18 +748,22 @@ class CandGen:
     def __init__(self, dev_fw, dev_mirror, idx, pol, sw_cfg, engine: str,
                  K: int, device=None, mesh=None):
         self.mesh = mesh
+        self._device = device
         put = lambda x: jax.device_put(x, device)
         self.didx = DeviceIndex(
             fw=dev_fw, mirror=dev_mirror,
             joined=put(idx.joined),
+            joined_words=put(_pack_joined_words(idx.joined)),
             run_starts=put(idx.run_joined_start.astype(np.int32)),
             run_ends=put(np.append(idx.run_joined_start[1:],
                                    idx.n).astype(np.int32)))
+        self._joined_host = idx.joined
         self.pol = pol
         self.sw_cfg = sw_cfg
         self.engine = engine
         self.K = K
         self._mmtab_dev = None
+        self._ktabs: dict[int, tuple] = {}
 
     def _mmtab(self, mmtab):
         if self._mmtab_dev is None:
@@ -560,6 +772,16 @@ class CandGen:
             self._mmtab_dev = jax.device_put(
                 mmtab[:64].astype(np.int32))
         return self._mmtab_dev
+
+    def _kmer(self, seed_len: int):
+        """(DeviceKmer, host KmerTable) for this seed length, cached."""
+        hit = self._ktabs.get(seed_len)
+        if hit is None:
+            tab = kmod.build_kmer_table(self._joined_host, seed_len)
+            dkm = kmod.to_device(tab, self._device)
+            hit = (dkm, tab)
+            self._ktabs[seed_len] = hit
+        return hit
 
     def dispatch(self, seqs, quals, lens, act_fw, act_rc, minsc, mmtab,
                  boost=None, seed_skip=None):
@@ -579,6 +801,7 @@ class CandGen:
 
         # per-read interval with exact host SimpleFunc semantics
         # (ref: simple_func.h C-cast truncation)
+        lens_i = np.asarray(lens, np.int64)
         interval = np.maximum(
             1, per_len(pol.interval.f_int, lens)).astype(np.int64)
         boost = np.asarray(boost, bool)
@@ -588,23 +811,35 @@ class CandGen:
         nrounds = np.where(boost, -(-pol.n_seed_rounds // 2),
                            pol.n_seed_rounds)
         # static max seed count for this batch shape
-        with np.errstate(divide="ignore"):
-            nseeds_ub = 1 + np.maximum(
-                0, (np.asarray(lens, np.int64) - pol.seed_len)) // interval
+        nseeds_ub = 1 + np.maximum(0, lens_i - pol.seed_len) // interval
         S = _pow2(int(nseeds_ub.max(initial=1)), lo=4)
 
-        packed = np.full((Bp, Lp), 255, np.uint8)
+        # fast shape iff every active read keeps >=1 intact seed under any
+        # single-position substitution (see module doc)
+        active = np.asarray(act_fw, bool) | np.asarray(act_rc, bool)
+        cover = -(-pol.seed_len // interval)       # ceil(Ls / interval)
+        has_short = bool(np.any(active & ((lens_i < pol.seed_len)
+                                          | (nseeds_ub < cover + 1))))
+        dkm, ktab = self._kmer(pol.seed_len)
+        if len(self._joined_host) < pol.seed_len:
+            has_short = True
+
+        packed = np.full((2, Bp, Lp), 255, np.uint8)
         q6 = np.minimum(np.asarray(quals), 63).astype(np.uint8)
         enc = ((np.asarray(seqs) & 3) << 6) | q6
         enc = np.where(np.asarray(seqs) > 3, 255, enc).astype(np.uint8)
-        packed[:B0, :L0] = enc
+        packed[0, :B0, :L0] = enc
+        j = np.arange(L0)
+        dest = (Lp - lens_i[:, None]) + j[None, :]
+        valid_e = j[None, :] < lens_i[:, None]
+        rows_e = np.broadcast_to(np.arange(B0)[:, None], (B0, L0))
+        packed[1, rows_e[valid_e], dest[valid_e]] = enc[valid_e]
 
         meta = np.zeros((Bp, 4), np.int32)
-        m0 = np.asarray(lens, np.int64).copy()
+        m0 = lens_i.copy()
         m0 |= np.where(np.asarray(act_fw, bool), _F_ACT_FW, 0)
         m0 |= np.where(np.asarray(act_rc, bool), _F_ACT_RC, 0)
-        r0 = (np.asarray(act_fw, bool) | np.asarray(act_rc, bool)) \
-            & ~np.asarray(seed_skip, bool)
+        r0 = active & ~np.asarray(seed_skip, bool)
         m0 |= np.where(r0, _F_SEED_R0, 0)
         meta[:B0, 0] = m0.astype(np.int32)
         meta[:B0, 1] = np.asarray(minsc, np.int32)
@@ -620,12 +855,14 @@ class CandGen:
             seed_len=pol.seed_len, K=self.K,
             k1=_pow2(4 * Bl, lo=4096), chunk_w=cw, n_chunks=n_chunks,
             C_pre=_pow2(16 * Bl, lo=8192), C_max=_pow2(4 * Bl, lo=4096),
-            sw=self.sw_cfg, engine=self.engine)
+            sw=self.sw_cfg, engine=self.engine,
+            has_short=has_short, kmer_steps=ktab.search_steps,
+            n_hi=ktab.n_hi, n_lo=ktab.n_lo, bbits=ktab.bbits)
         args = (jnp.asarray(packed), jnp.asarray(meta), self._mmtab(mmtab))
         if self.mesh is not None:
-            out = _sharded_pipeline(cfg, self.mesh)(self.didx, *args)
+            out = _sharded_pipeline(cfg, self.mesh)(self.didx, dkm, *args)
         else:
-            out = fused_pipeline(self.didx, cfg, *args)
+            out = fused_pipeline(self.didx, dkm, cfg, *args)
         return (B0, out, cfg, ndev)
 
     def fetch(self, handle) -> BatchResult:

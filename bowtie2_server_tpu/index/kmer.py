@@ -1,0 +1,149 @@
+"""Seed-length k-mer position table — the TPU-first replacement for the
+seed-round FM searches (ref: aligner_seed.cpp:668 searchSeedBi with -N 0).
+
+An exact-seed FM search costs seed_len LF steps x 2 occ gathers each; on
+this hardware gathers are the bottleneck (the whole fused batch is
+gather-latency-bound, ~0.5 ms per chained step at 16k lanes). A sorted
+k-mer table answers the same query — "all genome positions where this
+seed_len-mer occurs" — in ceil(log2(max_bucket)) single-row gathers:
+
+  key(pos)  = the seed_len bases at joined[pos:pos+seed_len], packed 2-bit
+              big-endian into (hi, lo) uint32 halves
+  bucket    = top `bbits` bits of hi, direct-addressed to a slice of the
+              key-sorted position array
+  lookup    = lower/upper bound binary search inside the bucket
+
+The table indexes the same joined text as the FM index, so the hit set is
+IDENTICAL to an exact backward search of the seed (including matches that
+straddle unambiguous-run boundaries, which downstream run-interval checks
+reject in both paths). Memory: 12 bytes/position + 4*2^bbits — fits HBM for
+bacterial/fungal genomes; the FM path remains for mammalian-scale indexes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import numpy as np
+
+
+class KmerTable(NamedTuple):
+    """Host-side sorted k-mer position table."""
+    bucket_start: np.ndarray   # [2^bbits + 1] uint32 bucket boundaries
+    keys: np.ndarray           # [n_k, 2] uint32 (hi, lo), key-sorted
+    pos: np.ndarray            # [n_k] uint32 joined position of each key
+    seed_len: int
+    n_hi: int                  # bases packed in hi (min(seed_len, 16))
+    n_lo: int                  # bases packed in lo (seed_len - n_hi)
+    bbits: int                 # bucket bits taken from the top of hi
+    search_steps: int          # static binary-search trip count
+
+
+class DeviceKmer(NamedTuple):
+    """Device-resident table arrays (a JAX pytree)."""
+    bucket_start: jax.Array    # [2^bbits + 1] uint32
+    keys: jax.Array            # [n_k, 2] uint32
+    pos: jax.Array             # [n_k] uint32
+
+
+def pack_keys(codes: np.ndarray, seed_len: int):
+    """(hi, lo) uint32 keys of every window start in `codes` (0..3 values).
+
+    hi packs the first n_hi = min(seed_len, 16) bases big-endian in its low
+    2*n_hi bits; lo packs the remaining bases in its low 2*n_lo bits.
+    Window starts beyond len(codes) - seed_len get arbitrary (unused) keys.
+    """
+    n = len(codes)
+    n_hi = min(seed_len, 16)
+    n_lo = seed_len - n_hi
+    c = codes.astype(np.uint64)
+    padded = np.zeros(n + seed_len, np.uint64)
+    padded[:n] = c
+    hi = np.zeros(n, np.uint64)
+    for t in range(n_hi):
+        hi = (hi << np.uint64(2)) | padded[t : t + n]
+    lo = np.zeros(n, np.uint64)
+    for t in range(n_hi, seed_len):
+        lo = (lo << np.uint64(2)) | padded[t : t + n]
+    return hi.astype(np.uint32), lo.astype(np.uint32), n_hi, n_lo
+
+
+def build_kmer_table(joined: np.ndarray, seed_len: int,
+                     bbits: int | None = None) -> KmerTable:
+    """Build the sorted table over every window of the joined text."""
+    n = len(joined)
+    n_k = max(n - seed_len + 1, 0)
+    hi, lo, n_hi, n_lo = pack_keys(joined, seed_len)
+    hi, lo = hi[:n_k], lo[:n_k]
+    if bbits is None:
+        # ~1 expected entry per bucket, capped to keep the table <= 64 MB
+        bbits = min(2 * n_hi, max(10, int(np.ceil(np.log2(max(n_k, 2))))), 24)
+    if n_k == 0:
+        # sentinel row so device gathers stay well-formed; never matched
+        # (callers force the general shape when the table is degenerate)
+        return KmerTable(
+            bucket_start=np.zeros((1 << 10) + 1, np.uint32),
+            keys=np.array([[0xFFFFFFFF, 0xFFFFFFFF]], np.uint32),
+            pos=np.zeros(1, np.uint32), seed_len=seed_len,
+            n_hi=n_hi, n_lo=n_lo, bbits=10, search_steps=1)
+    order = np.lexsort((lo, hi)).astype(np.uint32)
+    hi_s = hi[order]
+    lo_s = lo[order]
+    keys = np.stack([hi_s, lo_s], axis=1)
+    bucket = (hi_s >> np.uint32(2 * n_hi - bbits)).astype(np.int64)
+    bucket_start = np.zeros((1 << bbits) + 1, np.uint32)
+    counts = np.bincount(bucket, minlength=1 << bbits)
+    bucket_start[1:] = np.cumsum(counts).astype(np.uint32)
+    max_bucket = int(counts.max(initial=0))
+    search_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
+    return KmerTable(bucket_start=bucket_start, keys=keys,
+                     pos=order, seed_len=seed_len, n_hi=n_hi, n_lo=n_lo,
+                     bbits=bbits, search_steps=search_steps)
+
+
+def to_device(tab: KmerTable, device=None) -> DeviceKmer:
+    put = lambda x: jax.device_put(x, device)
+    return DeviceKmer(bucket_start=put(tab.bucket_start),
+                      keys=put(tab.keys), pos=put(tab.pos))
+
+
+def lookup_body(dkm: DeviceKmer, q_hi, q_lo, n_hi: int, bbits: int,
+                steps: int):
+    """Traceable batched lookup: (start, cnt) row ranges into dkm.pos for
+    each (hi, lo) query key. Invalid queries must be masked by the caller
+    (they return some range; gate on your own validity).
+
+    Lower and upper bound run in the same fixed-trip loop: 2 key-row
+    gathers per step, `steps` = ceil(log2(max_bucket+1)) from the table.
+    """
+    import jax.numpy as jnp
+
+    q_hi = q_hi.astype(jnp.uint32)
+    q_lo = q_lo.astype(jnp.uint32)
+    bucket = (q_hi >> jnp.uint32(2 * n_hi - bbits)).astype(jnp.int32)
+    bucket = jnp.clip(bucket, 0, dkm.bucket_start.shape[0] - 2)
+    b0 = dkm.bucket_start[bucket].astype(jnp.int32)
+    b1 = dkm.bucket_start[bucket + 1].astype(jnp.int32)
+    n_k = dkm.keys.shape[0]
+
+    def body(_, carry):
+        lo_l, hi_l, lo_u, hi_u = carry
+        mid_l = (lo_l + hi_l) >> 1
+        mid_u = (lo_u + hi_u) >> 1
+        kl_ = dkm.keys[jnp.clip(mid_l, 0, n_k - 1)]     # [Q, 2]
+        ku_ = dkm.keys[jnp.clip(mid_u, 0, n_k - 1)]
+        less = (kl_[:, 0] < q_hi) | ((kl_[:, 0] == q_hi)
+                                     & (kl_[:, 1] < q_lo))
+        leq = (ku_[:, 0] < q_hi) | ((ku_[:, 0] == q_hi)
+                                    & (ku_[:, 1] <= q_lo))
+        open_l = lo_l < hi_l
+        open_u = lo_u < hi_u
+        lo_l = jnp.where(open_l & less, mid_l + 1, lo_l)
+        hi_l = jnp.where(open_l & ~less, mid_l, hi_l)
+        lo_u = jnp.where(open_u & leq, mid_u + 1, lo_u)
+        hi_u = jnp.where(open_u & ~leq, mid_u, hi_u)
+        return lo_l, hi_l, lo_u, hi_u
+
+    lo_l, _, lo_u, _ = jax.lax.fori_loop(
+        0, steps, body, (b0, b1, b0, b1))
+    return lo_l, jnp.maximum(lo_u - lo_l, 0)

@@ -115,6 +115,49 @@ def occ_batch(fm: DeviceFm, c: jax.Array, rows: jax.Array) -> jax.Array:
     return base + in_block - corr
 
 
+def occ_all4(fm: DeviceFm, rows: jax.Array) -> jax.Array:
+    """occ(c, row) for ALL four characters from one side gather per row.
+
+    rows: [B] int32 -> [B, 4] int32. The per-character substitution search
+    (1mm branching) needs all four counts at the same row; computing them
+    from a single gathered side row quarters the gather traffic vs four
+    occ_batch calls (gathers are the bottleneck on this backend).
+    """
+    blk = rows // DEV_OCC_BLOCK
+    rem = rows % DEV_OCC_BLOCK
+    side = fm.side[blk]                                        # [B, 8] u32
+    base = side[:, :4].astype(jnp.int32)                       # [B, 4]
+    words = side[:, 4:8]                                       # [B, 4]
+    rem_w = jnp.clip(rem[:, None] - jnp.arange(4)[None, :] * 16, 0, 16)
+    mask = jnp.where(
+        rem_w >= 16, jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << (2 * rem_w).astype(jnp.uint32)) - jnp.uint32(1))
+    outs = []
+    for c in range(4):
+        pat = jnp.uint32(c * _PAIR_MASK)
+        x = words ^ pat
+        nonmatch = (x | (x >> 1)) & jnp.uint32(_PAIR_MASK)
+        cnt_nonmatch = jnp.sum(
+            jax.lax.population_count(nonmatch & mask).astype(jnp.int32),
+            axis=1)
+        outs.append(rem - cnt_nonmatch)
+    in_block = jnp.stack(outs, axis=1)                         # [B, 4]
+    corr = ((fm.primary >= blk * DEV_OCC_BLOCK)
+            & (fm.primary < rows)).astype(jnp.int32)
+    # the $ hole is packed as char 0 but must not be counted
+    return base + in_block - jnp.pad(corr[:, None], ((0, 0), (0, 3)))
+
+
+def lf_all4(fm: DeviceFm, top: jax.Array, bot: jax.Array):
+    """All-four-character LF step: (new_top, new_bot) each [B, 4].
+
+    Empty/invalid input ranges must be masked by the caller."""
+    B = top.shape[0]
+    both = occ_all4(fm, jnp.concatenate([top, bot]))
+    cnt = fm.cnt[None, :4]
+    return cnt + both[:B], cnt + both[B:]
+
+
 def lf_step(fm: DeviceFm, c: jax.Array, top: jax.Array, bot: jax.Array):
     """One batched backward-search step (top and bot occ queries fused into
     a single gather pass). Lanes with c > 3 (N) or an already empty range
