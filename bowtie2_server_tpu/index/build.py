@@ -141,12 +141,9 @@ def _build_direction(text: np.ndarray, sa: np.ndarray) -> FmDirection:
         ftab_top=top.astype(np.uint32), ftab_bot=bot.astype(np.uint32))
 
 
-def build_index(fasta, both_directions: bool = True) -> FmIndex:
-    """Build the full index from a FASTA path/bytes/text."""
-    names, seqs = parse_fasta(fasta)
-    if not names:
-        raise ValueError("no sequences in FASTA input")
-
+def ref_geometry(names: list[str], seqs: list[np.ndarray]) -> dict:
+    """Joined text + run tables + full-reference arrays from per-reference
+    code arrays (RefRecord assembly, ref: ref_read.cpp)."""
     runs_js, runs_rid, runs_roff = [], [], []
     joined_parts = []
     joined_len = 0
@@ -173,15 +170,8 @@ def build_index(fasta, both_directions: bool = True) -> FmIndex:
 
     joined = (np.concatenate(joined_parts) if joined_parts
               else np.zeros(0, dtype=np.uint8))
-    sa_fw = suffix_array(joined)
-    fw = _build_direction(joined, sa_fw)
-    mirror = None
-    if both_directions:
-        rev = joined[::-1].copy()
-        mirror = _build_direction(rev, suffix_array(rev))
-
-    return FmIndex(
-        fw=fw, mirror=mirror, joined=joined,
+    return dict(
+        joined=joined,
         run_joined_start=np.asarray(runs_js, dtype=np.int64),
         run_ref_id=np.asarray(runs_rid, dtype=np.int32),
         run_ref_off=np.asarray(runs_roff, dtype=np.int64),
@@ -190,3 +180,19 @@ def build_index(fasta, both_directions: bool = True) -> FmIndex:
         ref_full_start=np.asarray(ref_full_start, dtype=np.int64),
         ref_lens=np.asarray(ref_lens, dtype=np.int64),
         ref_names=names)
+
+
+def build_index(fasta, both_directions: bool = True) -> FmIndex:
+    """Build the full index from a FASTA path/bytes/text."""
+    names, seqs = parse_fasta(fasta)
+    if not names:
+        raise ValueError("no sequences in FASTA input")
+    geom = ref_geometry(names, seqs)
+    joined = geom["joined"]
+    sa_fw = suffix_array(joined)
+    fw = _build_direction(joined, sa_fw)
+    mirror = None
+    if both_directions:
+        rev = joined[::-1].copy()
+        mirror = _build_direction(rev, suffix_array(rev))
+    return FmIndex(fw=fw, mirror=mirror, **geom)

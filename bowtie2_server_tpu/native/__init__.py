@@ -45,22 +45,36 @@ def get_lib():
         so = _build()
         if so is not None:
             lib = ctypes.CDLL(str(so))
+            u8p = ctypes.POINTER(ctypes.c_uint8)
             lib.bt2tpu_sais.restype = ctypes.c_int
             lib.bt2tpu_sais.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_int32)]
+                u8p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
+            lib.bt2tpu_sais64.restype = ctypes.c_int
+            lib.bt2tpu_sais64.argtypes = [
+                u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            lib.bt2tpu_sa_from_bwt.restype = ctypes.c_int
+            lib.bt2tpu_sa_from_bwt.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64)]
             _LIB = lib
     return _LIB
 
 
-def sais(text: np.ndarray) -> np.ndarray | None:
-    """Suffix array via native SA-IS; None if the native lib is
-    unavailable or the text exceeds int32."""
+def sais(text: np.ndarray, force64: bool = False) -> np.ndarray | None:
+    """Suffix array via native SA-IS; 64-bit positions for texts beyond
+    int32 (the .bt2l-scale path, ref: btypes.h BOWTIE_64BIT_INDEX). None if
+    the native lib is unavailable."""
     lib = get_lib()
     n = len(text)
-    if lib is None or n >= (1 << 31):
+    if lib is None:
         return None
     text = np.ascontiguousarray(text, dtype=np.uint8)
+    if n >= (1 << 31) or force64:
+        sa = np.empty(n, dtype=np.int64)
+        rc = lib.bt2tpu_sais64(
+            text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            np.int64(n), sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return sa if rc == 0 else None
     sa = np.empty(n, dtype=np.int32)
     rc = lib.bt2tpu_sais(
         text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -68,3 +82,23 @@ def sais(text: np.ndarray) -> np.ndarray | None:
     if rc != 0:
         return None
     return sa.astype(np.int64)
+
+
+def sa_from_bwt(bwt: np.ndarray, primary: int,
+                dollar_large: bool = False) -> np.ndarray | None:
+    """Full suffix array ((n+1)-row space, int64) reconstructed from a BWT
+    by one LF-walk — the .bt2 interop path that skips suffix sorting
+    entirely (ref: bt2_idx.h:1607 walkLeft, done eagerly for the whole
+    array). dollar_large selects the reference's suffix-order convention
+    ($ sorts after every character). Returns None if the native lib is
+    unavailable or the BWT is inconsistent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+    sa = np.empty(len(bwt), dtype=np.int64)
+    rc = lib.bt2tpu_sa_from_bwt(
+        bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int64(len(bwt)), np.int64(primary), np.int32(dollar_large),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return sa if rc == 0 else None

@@ -1,12 +1,12 @@
 // SA-IS suffix array construction (the native-core counterpart of the
 // reference's blockwise Kärkkäinen sort / libsais backend, ref:
 // blockwise_sa.h:255, third_party/libsais). Standard induced-sorting
-// algorithm (Nong, Zhang & Chan 2009), written for int32 positions —
-// handles genomes up to 2^31 bp; the .bt2l-scale 64-bit variant is a
-// planned extension.
+// algorithm (Nong, Zhang & Chan 2009), templated on the position type:
+// int32 for genomes < 2^31 bp and int64 for .bt2l-scale (GRCh38) builds.
 //
 // Exposed C ABI:
 //   int bt2tpu_sais(const uint8_t* text, int32_t n, int32_t* sa)
+//   int bt2tpu_sais64(const uint8_t* text, int64_t n, int64_t* sa)
 //     -> 0 on success; sa[0..n) = suffix array of text (alphabet 0..255,
 //        suffixes compared with implicit terminator < all characters).
 #include <cstdint>
@@ -17,80 +17,80 @@ namespace {
 
 // Generic SA-IS over an integer string `s` of length n with alphabet size K.
 // s must be strictly positive values (0 is reserved for the sentinel we
-// append internally at index n).
-template <typename T>
-void sais_core(const T* s, int32_t* sa, int32_t n, int32_t K) {
+// append internally at index n). TIdx is the position type (int32/int64).
+template <typename T, typename TIdx>
+void sais_core(const T* s, TIdx* sa, TIdx n, TIdx K) {
     // n includes the sentinel at position n-1 (s[n-1] == 0, unique minimum).
     std::vector<bool> is_s(n);
     is_s[n - 1] = true;
-    for (int32_t i = n - 2; i >= 0; i--) {
+    for (TIdx i = n - 2; i >= 0; i--) {
         is_s[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && is_s[i + 1]);
     }
-    auto is_lms = [&](int32_t i) {
+    auto is_lms = [&](TIdx i) {
         return i > 0 && is_s[i] && !is_s[i - 1];
     };
 
-    std::vector<int32_t> bend(K), bstart(K);
+    std::vector<TIdx> bend(K), bstart(K);
     auto compute_bounds = [&]() {
-        std::vector<int32_t> cnt(K, 0);
-        for (int32_t i = 0; i < n; i++) cnt[s[i]]++;
-        int32_t acc = 0;
-        for (int32_t c = 0; c < K; c++) {
+        std::vector<TIdx> cnt(K, 0);
+        for (TIdx i = 0; i < n; i++) cnt[s[i]]++;
+        TIdx acc = 0;
+        for (TIdx c = 0; c < K; c++) {
             bstart[c] = acc;
             acc += cnt[c];
             bend[c] = acc;
         }
     };
 
-    auto induce = [&](const std::vector<int32_t>& lms) {
-        std::fill(sa, sa + n, -1);
+    auto induce = [&](const std::vector<TIdx>& lms) {
+        std::fill(sa, sa + n, (TIdx)-1);
         compute_bounds();
-        std::vector<int32_t> tail(bend);
+        std::vector<TIdx> tail(bend);
         // place LMS suffixes at bucket tails (in given order, backwards)
-        for (int32_t i = (int32_t)lms.size() - 1; i >= 0; i--) {
-            int32_t p = lms[i];
+        for (TIdx i = (TIdx)lms.size() - 1; i >= 0; i--) {
+            TIdx p = lms[i];
             sa[--tail[s[p]]] = p;
         }
         // induce L-type from left to right
-        std::vector<int32_t> head(bstart);
-        for (int32_t i = 0; i < n; i++) {
-            int32_t p = sa[i];
+        std::vector<TIdx> head(bstart);
+        for (TIdx i = 0; i < n; i++) {
+            TIdx p = sa[i];
             if (p > 0 && !is_s[p - 1]) sa[head[s[p - 1]]++] = p - 1;
         }
         // induce S-type from right to left
         tail = bend;
-        for (int32_t i = n - 1; i >= 0; i--) {
-            int32_t p = sa[i];
+        for (TIdx i = n - 1; i >= 0; i--) {
+            TIdx p = sa[i];
             if (p > 0 && is_s[p - 1]) sa[--tail[s[p - 1]]] = p - 1;
         }
     };
 
     // collect LMS positions in text order
-    std::vector<int32_t> lms_pos;
-    for (int32_t i = 1; i < n; i++)
+    std::vector<TIdx> lms_pos;
+    for (TIdx i = 1; i < n; i++)
         if (is_lms(i)) lms_pos.push_back(i);
 
     induce(lms_pos);
 
     // extract sorted LMS positions
-    std::vector<int32_t> sorted_lms;
+    std::vector<TIdx> sorted_lms;
     sorted_lms.reserve(lms_pos.size());
-    for (int32_t i = 0; i < n; i++)
+    for (TIdx i = 0; i < n; i++)
         if (sa[i] > 0 && is_lms(sa[i])) sorted_lms.push_back(sa[i]);
 
     // name LMS substrings
-    int32_t m = (int32_t)lms_pos.size();
-    std::vector<int32_t> name(n, -1);
-    int32_t names = 0;
-    int32_t prev = -1;
-    for (int32_t idx = 0; idx < (int32_t)sorted_lms.size(); idx++) {
-        int32_t p = sorted_lms[idx];
+    TIdx m = (TIdx)lms_pos.size();
+    std::vector<TIdx> name(n, -1);
+    TIdx names = 0;
+    TIdx prev = -1;
+    for (TIdx idx = 0; idx < (TIdx)sorted_lms.size(); idx++) {
+        TIdx p = sorted_lms[idx];
         if (prev < 0) {
             name[p] = names++;
         } else {
             // compare LMS substrings at prev and p
             bool same = true;
-            for (int32_t d = 0;; d++) {
+            for (TIdx d = 0;; d++) {
                 if (s[prev + d] != s[p + d] ||
                     is_s[prev + d] != is_s[p + d]) {
                     same = false;
@@ -107,24 +107,38 @@ void sais_core(const T* s, int32_t* sa, int32_t n, int32_t K) {
         prev = p;
     }
 
-    std::vector<int32_t> order(m);
+    std::vector<TIdx> order(m);
     if (names < m) {
         // recurse on the reduced string of LMS names. The final LMS is the
         // outer sentinel position whose name is uniquely 0, so the reduced
         // string ends with its own unique minimum — the invariant
         // sais_core requires.
-        std::vector<int32_t> s1(m);
-        int32_t j = 0;
-        for (int32_t i = 1; i < n; i++)
+        std::vector<TIdx> s1(m);
+        TIdx j = 0;
+        for (TIdx i = 1; i < n; i++)
             if (is_lms(i)) s1[j++] = name[i];
-        std::vector<int32_t> sa1(m);
-        sais_core<int32_t>(s1.data(), sa1.data(), m, names);
-        for (int32_t i = 0; i < m; i++) order[i] = lms_pos[sa1[i]];
+        std::vector<TIdx> sa1(m);
+        sais_core<TIdx, TIdx>(s1.data(), sa1.data(), m, names);
+        for (TIdx i = 0; i < m; i++) order[i] = lms_pos[sa1[i]];
     } else {
         // all names unique: radix by name
-        for (int32_t i = 0; i < m; i++) order[name[lms_pos[i]]] = lms_pos[i];
+        for (TIdx i = 0; i < m; i++) order[name[lms_pos[i]]] = lms_pos[i];
     }
     induce(order);
+}
+
+template <typename TIdx>
+int sais_entry(const uint8_t* text, TIdx n, TIdx* sa) {
+    if (n <= 0) return 0;
+    // append sentinel: work over s[i] = text[i] + 1, s[n] = 0
+    std::vector<uint16_t> s(n + 1);
+    for (TIdx i = 0; i < n; i++) s[i] = (uint16_t)text[i] + 1;
+    s[n] = 0;
+    std::vector<TIdx> sa_full(n + 1);
+    sais_core<uint16_t, TIdx>(s.data(), sa_full.data(), n + 1, (TIdx)257);
+    // drop the sentinel suffix (always first)
+    std::memcpy(sa, sa_full.data() + 1, sizeof(TIdx) * n);
+    return 0;
 }
 
 }  // namespace
@@ -132,16 +146,11 @@ void sais_core(const T* s, int32_t* sa, int32_t n, int32_t K) {
 extern "C" {
 
 int bt2tpu_sais(const uint8_t* text, int32_t n, int32_t* sa) {
-    if (n <= 0) return 0;
-    // append sentinel: work over s[i] = text[i] + 1, s[n] = 0
-    std::vector<uint16_t> s(n + 1);
-    for (int32_t i = 0; i < n; i++) s[i] = (uint16_t)text[i] + 1;
-    s[n] = 0;
-    std::vector<int32_t> sa_full(n + 1);
-    sais_core<uint16_t>(s.data(), sa_full.data(), n + 1, 257);
-    // drop the sentinel suffix (always first)
-    std::memcpy(sa, sa_full.data() + 1, sizeof(int32_t) * n);
-    return 0;
+    return sais_entry<int32_t>(text, n, sa);
+}
+
+int bt2tpu_sais64(const uint8_t* text, int64_t n, int64_t* sa) {
+    return sais_entry<int64_t>(text, n, sa);
 }
 
 }  // extern "C"

@@ -505,9 +505,15 @@ def one_mm_branch_hits(fm: DeviceFm, patterns, lengths, branch_lo, branch_hi,
         pos_h, top_h, bot_h, cb_h, cm_h = arr[0], arr[1], arr[2], arr[3], arr[4]
         count_h = int(arr[5, 0])
         if count_h > k1:
-            raise RuntimeError(
-                f"1mm branch overflow: {count_h} survivors > k1={k1}; "
-                "raise k1 or reduce batch size")
+            # compaction capacity exceeded (highly repetitive genome):
+            # narrow the position window, then grow the capacity — never
+            # drop survivors (ref: the reference degrades gracefully on
+            # huge SA ranges via RowSampler, aligner_sw_driver.h:179)
+            if cw > 1:
+                cw = max(1, cw // 2)
+            else:
+                k1 *= 2
+            continue
         good = (cb_h >= 0) & (cb_h < B) & (pos_h < 0) & (top_h < bot_h)
         out[0].append(cb_h[good].astype(np.int64))
         out[1].append(cm_h[good].astype(np.int64))

@@ -211,3 +211,65 @@ def test_graft_entry_and_multichip_dryrun():
     # fused pipeline single packed output [5, C_max]
     assert out.ndim == 2 and out.shape[0] == 5
     g.dryrun_multichip(8)
+
+
+def test_sais64_and_bwt_walk_roundtrip(rng):
+    """64-bit SA-IS matches 32-bit; full-SA reconstruction from a BWT via
+    the native LF-walk matches the directly-built SA, both terminator
+    conventions (ref: bt2_io.cpp stored ebwt reuse, bt2_idx.h:1607)."""
+    from bowtie2_server_tpu.index.build import _build_direction
+    from bowtie2_server_tpu.native import sa_from_bwt, sais
+    if sais(np.zeros(4, np.uint8)) is None:
+        pytest.skip("native toolchain unavailable")
+    t = rng.integers(0, 4, 20000).astype(np.uint8)
+    sa32 = sais(t)
+    sa64 = sais(t, force64=True)
+    np.testing.assert_array_equal(sa32, sa64)
+    d = _build_direction(t, sa32)
+    walked = sa_from_bwt(d.bwt, d.primary)
+    np.testing.assert_array_equal(walked.astype(np.uint64),
+                                  d.sa.astype(np.uint64))
+    # $-large convention: sort suffixes of t + [5, 0] (5 > all codes plays
+    # the terminator role; trailing 0 is the SA-IS sentinel), drop the [0]
+    # suffix row
+    n = len(t)
+    aug = np.concatenate([t, np.array([5, 0], np.uint8)])
+    sa_l = sais(aug)[1:]  # row 0 is the [0] suffix
+    bwt_l = np.where(sa_l > 0, t[(sa_l - 1) % n], 4).astype(np.uint8)
+    bwt_l[sa_l == n] = t[n - 1]  # the empty suffix's L char
+    primary_l = int(np.nonzero(sa_l == 0)[0][0])
+    walked_l = sa_from_bwt(bwt_l, primary_l, dollar_large=True)
+    np.testing.assert_array_equal(walked_l, np.minimum(sa_l, n))
+
+
+def test_bt2_fast_load_matches_native():
+    """Fast .bt2 load (stored-BWT decode + LF-walk, no re-sort) produces an
+    index whose hit sets equal the natively-built one (requires the
+    reference-built lambda index in tmp/)."""
+    from pathlib import Path
+    if not Path("tmp/lambda.1.bt2").exists():
+        pytest.skip("reference lambda .bt2 index not present")
+    from bowtie2_server_tpu.index.bt2_reader import (direction_from_bwt,
+                                                     load_bt2_index,
+                                                     read_bt2_ebwt)
+    idx_bt2 = load_bt2_index("tmp/lambda")
+    idx_nat = build_index("/root/reference/example/reference/lambda_virus.fa")
+    # the fast path marks the $-large convention by its unshifted C array
+    assert int(idx_bt2.fw.cnt[0]) == 0, "fast path fell back to rebuild"
+    assert idx_bt2.mirror is not None
+    rng = np.random.default_rng(5)
+    n = idx_nat.n
+    for _ in range(60):
+        L = int(rng.integers(8, 40))
+        s = int(rng.integers(0, n - L))
+        pat = idx_nat.joined[s : s + L]
+        t1, b1 = search_exact(idx_bt2.fw, pat)
+        t2, b2 = search_exact(idx_nat.fw, pat)
+        assert b1 - t1 == b2 - t2
+        sa1 = sorted(int(idx_bt2.fw.sa[r]) for r in range(t1, b1))
+        sa2 = sorted(int(idx_nat.fw.sa[r]) for r in range(t2, b2))
+        assert sa1 == sa2
+        rp = pat[::-1].copy()
+        m1 = search_exact(idx_bt2.mirror, rp)
+        m2 = search_exact(idx_nat.mirror, rp)
+        assert m1[1] - m1[0] == m2[1] - m2[0]

@@ -27,20 +27,27 @@ def server():
     started = threading.Event()
     port_holder = {}
 
+    stop_holder = {}
+
     async def run():
         s = await asyncio.start_server(srv.handle, "127.0.0.1", 0,
                                        limit=1 << 20)
         port_holder["port"] = s.sockets[0].getsockname()[1]
+        stop_holder["ev"] = asyncio.Event()
         started.set()
         async with s:
-            await s.serve_forever()
+            # clean shutdown: wait on an event instead of serve_forever so
+            # run_until_complete's future completes normally
+            await stop_holder["ev"].wait()
 
     t = threading.Thread(target=lambda: loop.run_until_complete(run()),
                          daemon=True)
     t.start()
     assert started.wait(10)
     yield port_holder["port"], idx
-    loop.call_soon_threadsafe(loop.stop)
+    loop.call_soon_threadsafe(stop_holder["ev"].set)
+    t.join(10)
+    loop.close()
 
 
 def test_banner_and_config(server):
