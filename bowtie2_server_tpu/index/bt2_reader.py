@@ -88,8 +88,9 @@ def read_bt2_metadata(base: str):
     pos += osz * 5      # fchr
     pos += osz * ((1 << (ftab_chars * 2)) + 1)  # ftab
     pos += osz * (ftab_chars * 2)               # eftab
-    names = data[pos:].split(b"\x00")
-    # stored names keep the full FASTA header line; SAM uses the first token
+    # names are newline-separated, NUL-terminated; each keeps the full
+    # FASTA header line — SAM uses the first whitespace token
+    names = data[pos:].rstrip(b"\x00").split(b"\n")
     refnames = [n.decode().strip().split()[0] for n in names
                 if n.strip()][:n_pat]
     return dict(length=int(length), line_rate=line_rate, off_rate=off_rate,
