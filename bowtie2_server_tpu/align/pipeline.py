@@ -124,6 +124,43 @@ class ArrayCands:
         self.extra.append(t)
 
 
+class LazyByRead(dict):
+    """read -> [candidate indices] map materialized on first access
+    (vectorized argsort grouping instead of a per-candidate Python loop)."""
+
+    def __init__(self, c_read):
+        super().__init__()
+        self._c_read = c_read
+        self._built = c_read is None or len(c_read) == 0
+
+    def _build(self):
+        if self._built:
+            return
+        self._built = True
+        order = np.argsort(self._c_read, kind="stable")
+        sr = self._c_read[order]
+        cut = np.nonzero(np.diff(sr))[0] + 1
+        for grp in np.split(order, cut):
+            super().setdefault(int(self._c_read[grp[0]]),
+                               []).extend(grp.tolist())
+
+    def get(self, k, default=None):
+        self._build()
+        return super().get(k, default)
+
+    def setdefault(self, k, default=None):
+        self._build()
+        return super().setdefault(k, default)
+
+    def __getitem__(self, k):
+        self._build()
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        self._build()
+        return super().__contains__(k)
+
+
 class LazyFin:
     """fin_info list materializing band windows on demand (a slice of the
     joined text) instead of copying one window per candidate up front."""
@@ -333,10 +370,10 @@ class UnpairedAligner:
         cands = ArrayCands(res.c_read, res.c_fw, res.c_diag)
         best = np.where(res.c_interior, res.c_score, NEG_INF).astype(np.int64)
         end_joined = np.where(res.c_interior, res.c_end, -1).astype(np.int64)
-        by_read: dict[int, list[int]] = {}
-        c_read_l = res.c_read.tolist()
-        for ci in range(C):
-            by_read.setdefault(c_read_l[ci], []).append(ci)
+        # by_read is only consulted on the slow path (khits>1, rect/gapped
+        # fallbacks, paired driver) — build it lazily to keep the common
+        # khits==1 path free of the O(C) Python loop
+        by_read = LazyByRead(res.c_read)
 
         def read_arrays(ci):
             i, is_fw, _ = cands[ci]
