@@ -106,3 +106,69 @@ def mapq_v2(best: int, secbest: int | None, sc_min: int, sc_per: int,
         if bestdiff > 0:
             return 11 if ge(0.5) else 2
         return 1 if ge(0.5) else 0
+
+
+def mapq_v2_batch(best, secbest, has_sec, sc_min, sc_per,
+                  monotone: bool) -> np.ndarray:
+    """Vectorized mapq_v2 over arrays (same decision table; ref:
+    unique.h:171-416). `secbest` is ignored where ~has_sec."""
+    best = np.asarray(best, np.int64)
+    secbest = np.asarray(secbest, np.int64)
+    has_sec = np.asarray(has_sec, bool)
+    sc_min = np.asarray(sc_min, np.int64)
+    sc_per = np.asarray(sc_per, np.int64)
+    diff = np.maximum(1, sc_per - sc_min).astype(np.float64)
+    best_over = (best - sc_min).astype(np.float64)
+
+    def ge(frac):
+        return best_over >= diff * _f32(frac)
+
+    def bd_ge(bd, frac):
+        return bd >= diff * _f32(frac)
+
+    bestdiff = np.abs(np.abs(best) - np.abs(secbest)).astype(np.float64)
+    full = best_over == diff
+
+    if monotone:
+        no_sec = np.select(
+            [ge(0.8), ge(0.7), ge(0.6), ge(0.5), ge(0.4), ge(0.3)],
+            [42, 40, 24, 23, 8, 3], 0)
+        w_sec = np.select(
+            [bd_ge(bestdiff, 0.9), bd_ge(bestdiff, 0.8),
+             bd_ge(bestdiff, 0.7), bd_ge(bestdiff, 0.6),
+             bd_ge(bestdiff, 0.5), bd_ge(bestdiff, 0.4),
+             bd_ge(bestdiff, 0.3), bd_ge(bestdiff, 0.2),
+             bd_ge(bestdiff, 0.1), bestdiff > 0],
+            [np.where(full, 39, 33), np.where(full, 38, 27),
+             np.where(full, 37, 26), np.where(full, 36, 22),
+             np.where(full, 35, np.select([ge(0.84), ge(0.68)],
+                                          [25, 16], 5)),
+             np.where(full, 34, np.select([ge(0.84), ge(0.68)],
+                                          [21, 14], 4)),
+             np.where(full, 32, np.select([ge(0.88), ge(0.67)],
+                                          [18, 15], 3)),
+             np.where(full, 31, np.select([ge(0.88), ge(0.67)],
+                                          [17, 11], 0)),
+             np.where(full, 30, np.select([ge(0.88), ge(0.67)],
+                                          [12, 7], 0)),
+             np.where(ge(0.67), 6, 2)],
+            np.where(ge(0.67), 1, 0))
+    else:
+        no_sec = np.select(
+            [ge(0.8), ge(0.7), ge(0.6), ge(0.5), ge(0.4), ge(0.3)],
+            [44, 42, 41, 36, 28, 24], 22)
+        w_sec = np.select(
+            [bd_ge(bestdiff, 0.9), bd_ge(bestdiff, 0.8),
+             bd_ge(bestdiff, 0.7), bd_ge(bestdiff, 0.6),
+             bd_ge(bestdiff, 0.5), bd_ge(bestdiff, 0.4),
+             bd_ge(bestdiff, 0.3), bd_ge(bestdiff, 0.2),
+             bd_ge(bestdiff, 0.1), bestdiff > 0],
+            [40, 39, 38, 37,
+             np.where(full, 35, np.where(ge(0.50), 25, 20)),
+             np.where(full, 34, np.where(ge(0.50), 21, 19)),
+             np.where(full, 33, np.where(ge(0.5), 18, 16)),
+             np.where(full, 32, np.where(ge(0.5), 17, 12)),
+             np.where(full, 31, np.where(ge(0.5), 14, 9)),
+             np.where(ge(0.5), 11, 2)],
+            np.where(ge(0.5), 1, 0))
+    return np.where(has_sec, w_sec, no_sec).astype(np.int64)

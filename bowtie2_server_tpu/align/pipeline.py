@@ -44,7 +44,7 @@ from ..utils.scoring import Scoring
 from ..utils.simple_func import SimpleFunc, SQRT
 from .edits import (cigar_md_stats, edits_from_ungapped, ungapped_score,
                     traceback as rect_traceback)
-from .mapq import mapq_v2
+from .mapq import mapq_v2, mapq_v2_batch
 
 
 @dataclass(frozen=True)
@@ -491,13 +491,10 @@ class UnpairedAligner:
         nm = mmn.sum(1)
         rows, cols_mm = np.nonzero(mmn)
         row_split = np.searchsorted(rows, np.arange(len(w) + 1))
-        mapqs = [mapq_v2(int(score[t]),
-                         (int(res.sec_sc[w[t]]) if has_sec[t]
-                          else (int(st.perfect[w[t]]) if exact_rule[t]
-                                else None)),
-                         int(st.minsc[w[t]]), int(st.perfect[w[t]]),
-                         self.sc.monotone)
-                 for t in range(len(w))]
+        sec_eff = np.where(has_sec, res.sec_sc[w],
+                           st.perfect[w]).astype(np.int64)
+        mapqs = mapq_v2_batch(score, sec_eff, has_sec | exact_rule,
+                              st.minsc[w], st.perfect[w], self.sc.monotone)
 
         BASES = "ACGTN"
         for t in range(len(w)):
@@ -520,7 +517,7 @@ class UnpairedAligner:
             rec.secbest = (int(res.sec_sc[i]) if has_sec[t]
                            else (int(st.perfect[i]) if exact_rule[t]
                                  else None))
-            rec.mapq = mapqs[t]
+            rec.mapq = int(mapqs[t])
             rec.cigar = f"{rln}M"
             n_mm = int(nm[t])
             rec.nm = rec.xm = n_mm

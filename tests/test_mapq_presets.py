@@ -51,3 +51,34 @@ def test_simple_func_truncation_semantics():
     assert f.f_int(100) == 12   # trunc(12.5)
     g = SimpleFunc.parse("L,-0.6,-0.6")
     assert g.f_int(100) == -60  # trunc toward zero, NOT -61
+
+
+def test_mapq_batch_matches_scalar():
+    """mapq_v2_batch reproduces the scalar decision table exactly over a
+    dense (best, secbest) grid in both modes (ref: unique.h:171-416)."""
+    import numpy as np
+    from bowtie2_server_tpu.align.mapq import mapq_v2_batch
+
+    sc_min, sc_per = -60, 0          # e2e-style range
+    bests, secs, hass = [], [], []
+    for best in range(sc_min, sc_per + 1, 3):
+        bests.append(best); secs.append(0); hass.append(False)
+        for sec in range(sc_min, best + 1, 7):
+            bests.append(best); secs.append(sec); hass.append(True)
+    for monotone in (True, False):
+        want = [mapq_v2(b, (s if h else None), sc_min, sc_per, monotone)
+                for b, s, h in zip(bests, secs, hass)]
+        got = mapq_v2_batch(np.array(bests), np.array(secs),
+                            np.array(hass), sc_min, sc_per, monotone)
+        assert got.tolist() == want
+    # local-style positive range
+    sc_min2, sc_per2 = 20, 200
+    bests = list(range(sc_min2, sc_per2 + 1, 9))
+    secs = [max(sc_min2, b - 37) for b in bests]
+    for monotone in (True, False):
+        want = [mapq_v2(b, s, sc_min2, sc_per2, monotone)
+                for b, s in zip(bests, secs)]
+        got = mapq_v2_batch(np.array(bests), np.array(secs),
+                            np.ones(len(bests), bool), sc_min2, sc_per2,
+                            monotone)
+        assert got.tolist() == want
