@@ -29,15 +29,14 @@ statically-selected shapes:
 
 * the fast shape (every read has enough seeds that any single-position
   mismatch leaves at least one seed intact — nseeds >= ceil(Ls/ival)+1):
-  ONE recorded FM pass (fw index, both strands, static-column char reads
-  from a dual left/right-aligned upload); substitution branches on the
-  left half only via `lf_all4` (one side gather for all 4 characters) with
-  NO continuation pass — the unmatched left part is verified by the DP
-  stage; seed search via the sorted k-mer position table (index/kmer.py)
-  instead of per-seed LF chains — rolling keys are computed arithmetically
-  (no gathers) and resolved by fixed-trip binary search. Right-half
-  substitutions are covered by seed hits (a seed avoiding the mismatch
-  matches exactly), so the mirror-index pass disappears entirely.
+  ONE un-recorded FM pass (fw index, both strands, static-column char
+  reads from a dual left/right-aligned upload) for the exact ranges; NO
+  substitution-branch stage at all — a 1-substitution alignment leaves at
+  least one instantiated seed intact, so its diagonal is produced by the
+  seed lookup and verified by the DP stage; seed search via the sorted
+  k-mer position table (index/kmer.py) instead of per-seed LF chains —
+  rolling keys are computed arithmetically (no gathers) and resolved by
+  fixed-trip binary search. The mirror-index pass disappears entirely.
 
 * the short-read shape (`cfg.has_short`): the general bidirectional
   machinery — mirror-index recorded pass, both-half substitution branches
@@ -81,6 +80,7 @@ class CandGenCfg(NamedTuple):
     k1: int           # 1mm surviving-branch capacity per chunk
     chunk_w: int      # 1mm branch positions per chunk (short shape)
     n_chunks: int
+    NH: int           # hit-range capacity (level-1 compaction)
     C_pre: int        # resolved-element capacity (pre-dedup)
     C_max: int        # unique-candidate capacity
     sw: SwConfig
@@ -258,8 +258,16 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     # the right-aligned layout; the rc strand's char rc[len-1-s] equals
     # comp(fw[s]), a left-aligned static column (ref: exactSweep's fw/rc
     # interleaving for prefetch overlap, aligner_seed.cpp:854-933).
+    # In the fast shape the per-step (tops, bots) recording has no consumer
+    # (the left-half branch stage is subsumed by seed hits: a branch at p
+    # requires the suffix [p+1, len) to match exactly, and that suffix
+    # always contains an intact instantiated seed — the fast-shape
+    # condition guarantees a seed avoiding any one position), so only the
+    # final range is carried.
+    record = cfg.has_short
+
     def rec_body(step, carry):
-        top, bot, tops, bots = carry
+        top, bot = carry[0], carry[1]
         c_f = jax.lax.dynamic_slice_in_dim(ra_codes, L - 1 - step, 1, 1)[:, 0]
         c_r = jax.lax.dynamic_slice_in_dim(comp_la, step, 1, 1)[:, 0]
         c = jnp.concatenate([c_f, c_r])
@@ -267,19 +275,24 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
         active = step < lens2
         top = jnp.where(active, nt, top)
         bot = jnp.where(active, nb, bot)
-        tops = jax.lax.dynamic_update_index_in_dim(tops, top, step + 1, 1)
-        bots = jax.lax.dynamic_update_index_in_dim(bots, bot, step + 1, 1)
+        if not record:
+            return (top, bot)
+        tops = jax.lax.dynamic_update_index_in_dim(carry[2], top, step + 1, 1)
+        bots = jax.lax.dynamic_update_index_in_dim(carry[3], bot, step + 1, 1)
         return top, bot, tops, bots
 
     top0 = jnp.zeros(2 * B, jnp.int32)
     bot0 = jnp.broadcast_to(didx.fw.n.astype(jnp.int32), (2 * B,))
-    tops = jnp.zeros((2 * B, L + 1), jnp.int32).at[:, 0].set(top0)
-    bots = jnp.zeros((2 * B, L + 1), jnp.int32).at[:, 0].set(bot0)
-    _, _, tops, bots = jax.lax.fori_loop(0, L, rec_body,
-                                         (top0, bot0, tops, bots))
     lane_i = jnp.arange(2 * B)
-    et = tops[lane_i, jnp.clip(lens2, 0, L)]
-    eb = bots[lane_i, jnp.clip(lens2, 0, L)]
+    if record:
+        tops = jnp.zeros((2 * B, L + 1), jnp.int32).at[:, 0].set(top0)
+        bots = jnp.zeros((2 * B, L + 1), jnp.int32).at[:, 0].set(bot0)
+        _, _, tops, bots = jax.lax.fori_loop(0, L, rec_body,
+                                             (top0, bot0, tops, bots))
+        et = tops[lane_i, jnp.clip(lens2, 0, L)]
+        eb = bots[lane_i, jnp.clip(lens2, 0, L)]
+    else:
+        et, eb = jax.lax.fori_loop(0, L, rec_body, (top0, bot0))
     exact_ok = act2 & (et < eb)
     exact_cnt = jnp.where(exact_ok, eb - et, 0).astype(jnp.uint32)
     exact_mult = jnp.minimum(exact_cnt[:B] + exact_cnt[B:],
@@ -295,42 +308,12 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
 
     # ---- stage 2: substitution branches ----
     if not cfg.has_short:
-        # Fast shape: left-half branches only, all 4 characters from one
-        # side gather, NO continuation — the unmatched left part is
-        # DP-verified. Right-half substitutions are subsumed by seed hits
-        # (every read in this shape has a seed avoiding any one position).
-        P = L // 2
-        p_idx = jnp.arange(P, dtype=jnp.int32)[None, :]
-        s_idx = lens2[:, None] - 1 - p_idx                       # [2B, P]
-        s_c = jnp.clip(s_idx, 0, L)
-        t0 = jnp.take_along_axis(tops, s_c, axis=1)
-        b0 = jnp.take_along_axis(bots, s_c, axis=1)
-        orig = jnp.concatenate([la_codes[:, :P],
-                                comp_ra[:, L - P:][:, ::-1]])    # [2B, P]
-        bvalid = ((p_idx < half2[:, None]) & (t0 < b0) & (orig <= 3)
-                  & act2[:, None])
-        tf = jnp.where(bvalid, t0, 0).reshape(-1)
-        bf = jnp.where(bvalid, b0, 0).reshape(-1)
-        nt4, nb4 = dfm.lf_all4(didx.fw, tf, bf)                  # [2B*P, 4]
-        x = jnp.arange(4, dtype=jnp.int32)[None, :]
-        alive = ((nt4 < nb4) & (x != orig.reshape(-1, 1))
-                 & bvalid.reshape(-1, 1))
-        cnt_fw = jnp.sum(alive.astype(jnp.int32))
-        aflat = alive.reshape(-1)
-        N_br = aflat.shape[0]
-        bidx = jnp.nonzero(aflat, size=cfg.k1, fill_value=N_br)[0]
-        bsafe = jnp.clip(bidx, 0, N_br - 1)
-        bpad = bidx >= N_br
-        b_lane = jnp.where(bpad, 0, bsafe // (P * 4))
-        b_p = jnp.where(bpad, 0, (bsafe // 4) % P)
-        b_topv = jnp.where(bpad, 0, nt4.reshape(-1)[bsafe])
-        b_cntv = jnp.where(bpad, 0,
-                           (nb4.reshape(-1) - nt4.reshape(-1))[bsafe])
-        r_lane.append(b_lane.astype(jnp.int32))
-        r_depth.append(b_p.astype(jnp.int32))
-        r_top.append(b_topv.astype(jnp.int32))
-        r_cnt.append(jnp.minimum(b_cntv, E).astype(jnp.int32))
-        r_src.append(jnp.zeros(cfg.k1, jnp.int32))
+        # Fast shape: no branch stage at all. Any 1-substitution alignment
+        # leaves at least one instantiated seed intact (the fast-shape
+        # condition), so its diagonal is produced by the k-mer seed lookup
+        # in stage 3 and verified by the DP stage (ref: oneMmSearch's role,
+        # aligner_seed.cpp:973, is subsumed by seeds + extend here).
+        cnt_fw = jnp.int32(0)
         cnt_mr = jnp.int32(0)
     else:
         # General shape (short reads): both halves with a continuation
@@ -491,21 +474,36 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                 (tot >= cfg.boost_thresh * nonz)
 
     # ---- stage 4: assemble ranges -> elements -> resolve ----
+    # Two-level compaction: most appended ranges are empty (seeds that
+    # missed, inactive rounds), so first compact hit ranges (a nonzero over
+    # NR), then expand only those to elements (a nonzero over NH*E instead
+    # of NR*E — the dominant cumsum shrinks ~4x).
     r_lane = jnp.concatenate(r_lane).astype(jnp.int32)
     r_depth = jnp.concatenate(r_depth).astype(jnp.int32)
     r_top = jnp.concatenate(r_top).astype(jnp.int32)
     r_cnt = jnp.concatenate(r_cnt).astype(jnp.int32)
     r_src = jnp.concatenate(r_src)
     NR = r_lane.shape[0]
+    NH = cfg.NH
 
-    ev = (jnp.arange(E, dtype=jnp.int32)[None, :] < r_cnt[:, None]).reshape(-1)
+    hitr = r_cnt > 0
+    n_hit = jnp.sum(hitr.astype(jnp.int32))
+    hsel = jnp.nonzero(hitr, size=NH, fill_value=NR)[0]
+    hidx = jnp.clip(hsel, 0, NR - 1)
+    h_cnt = jnp.where(hsel >= NR, 0, r_cnt[hidx])
+    h_lane = r_lane[hidx]
+    h_depth = r_depth[hidx]
+    h_top = r_top[hidx]
+    h_src = r_src[hidx]
+
+    ev = (jnp.arange(E, dtype=jnp.int32)[None, :] < h_cnt[:, None]).reshape(-1)
     n_elts = jnp.sum(ev.astype(jnp.int32))
-    sel = jnp.nonzero(ev, size=cfg.C_pre, fill_value=NR * E)[0]
-    pad = sel >= NR * E
-    ridx = jnp.clip(sel // E, 0, NR - 1)
-    row = r_top[ridx] + (sel % E).astype(jnp.int32)
-    lane = r_lane[ridx]
-    src = r_src[ridx]
+    sel = jnp.nonzero(ev, size=cfg.C_pre, fill_value=NH * E)[0]
+    pad = sel >= NH * E
+    ridx = jnp.clip(sel // E, 0, NH - 1)
+    row = h_top[ridx] + (sel % E).astype(jnp.int32)
+    lane = h_lane[ridx]
+    src = h_src[ridx]
     read = lane % B
     rl = lens[read]
     n_keys = dkm.pos.shape[0]
@@ -517,10 +515,10 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
             jnp.clip(row, 0, didx.mirror.sa.shape[0] - 1)].astype(jnp.int32)
         off = jnp.where(src == 1, off_mr, jnp.where(src == 2, off_pos,
                                                     off_fw))
-        diag = jnp.where(src == 1, n_text - off - rl, off - r_depth[ridx])
+        diag = jnp.where(src == 1, n_text - off - rl, off - h_depth[ridx])
     else:
         off = jnp.where(src == 2, off_pos, off_fw)
-        diag = off - r_depth[ridx]
+        diag = off - h_depth[ridx]
     e_ok = ~pad & (diag > -rl)
 
     # ---- stage 5: dedup on (lane, diag) via 2-key sort ----
@@ -628,7 +626,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     perread = jnp.concatenate([
         best_pack, jnp.maximum(sec_sc, NEG), exact_mult])       # [3B]
     counters = jnp.stack([n_cand, n_elts, cnt_fw, cnt_mr,
-                          jnp.int32(0), jnp.int32(0),
+                          n_hit, jnp.int32(0),
                           jnp.int32(0), jnp.int32(0)])
     row4 = jnp.zeros(Cx, jnp.int32)
     row4 = jax.lax.dynamic_update_slice(row4, perread, (0,))
@@ -708,7 +706,8 @@ class BatchResult:
         self.overflow = bool((ctr[:, 0] > cfg.C_max).any()
                              or (ctr[:, 1] > cfg.C_pre).any()
                              or (ctr[:, 2] > cfg.k1).any()
-                             or (ctr[:, 3] > cfg.k1).any())
+                             or (ctr[:, 3] > cfg.k1).any()
+                             or (ctr[:, 4] > cfg.NH).any())
         valid = (row0 & 1) > 0
         reads = row0 >> 4
         keep = valid & (reads < B0)
@@ -854,6 +853,7 @@ class CandGen:
             B=Bl, L=Lp, S=S, R=pol.n_seed_rounds, E=pol.max_sa_elts,
             seed_len=pol.seed_len, K=self.K,
             k1=_pow2(4 * Bl, lo=4096), chunk_w=cw, n_chunks=n_chunks,
+            NH=_pow2(8 * Bl, lo=8192),
             C_pre=_pow2(16 * Bl, lo=8192), C_max=_pow2(4 * Bl, lo=4096),
             sw=self.sw_cfg, engine=self.engine,
             has_short=has_short, kmer_steps=ktab.search_steps,
