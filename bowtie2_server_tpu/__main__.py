@@ -77,7 +77,14 @@ def cmd_align(args):
     if args.rounds:
         polkw["n_seed_rounds"] = args.rounds
     khits = 500 if args.all_hits else args.khits
-    pol = SearchPolicy(khits=khits, **polkw)
+    # -M: sample 1 of the best among > M alignments; -k/-a disable it
+    # (ref: bt2_search.cpp:1246-1311 -M/-k/-a interplay)
+    if args.mhits is not None:
+        polkw["mhits"], polkw["msample"] = args.mhits, True
+        khits = 1
+    elif args.khits > 1 or args.all_hits:
+        polkw["mhits"], polkw["msample"] = 0, False
+    pol = SearchPolicy(khits=khits, seed=args.seed, **polkw)
 
     out = open(args.S, "w") if args.S else sys.stdout
     out.write(sam_header(idx.ref_names, idx.ref_lens, " ".join(sys.argv),
@@ -91,7 +98,21 @@ def cmd_align(args):
     t0 = time.time()
     n = n_aligned = 0
     fq_kw = dict(batch_size=args.batch, trim5=args.trim5, trim3=args.trim3,
-                 skip=args.skip, upto=args.upto)
+                 skip=args.skip, upto=args.upto,
+                 keep_comment=args.sam_append_comment,
+                 keep_orig=args.passthrough,
+                 qname_trunc=not args.sam_no_qname_trunc)
+
+    sam_kw = dict(xeq=args.xeq, append_comment=args.sam_append_comment,
+                  show_rand_seed=args.show_rand_seed)
+
+    def write_rec(rec):
+        out.write(sam_record(rec, idx.ref_names, args.rg_id, **sam_kw) + "\n")
+        if args.passthrough:
+            # original read record follows each SAM record (ref:
+            # aln_sink.cpp:2142-2146; the wrapper demuxes on these)
+            from .io.sam import passthrough_line
+            out.write(passthrough_line(rec) + "\n")
 
     def write_fq(f, rec):
         # --un/--al demux writes reads in ORIGINAL orientation (the
@@ -123,10 +144,8 @@ def cmd_align(args):
             pairs = pal.align_batch(b1, b2)
             for r1, r2 in pairs:
                 if not (args.no_unal and not r1.aligned and not r2.aligned):
-                    out.write(sam_record(r1, idx.ref_names, args.rg_id)
-                              + "\n")
-                    out.write(sam_record(r2, idx.ref_names, args.rg_id)
-                              + "\n")
+                    write_rec(r1)
+                    write_rec(r2)
                 summ.add_pair(r1, r2)
                 # --un-conc/--al-conc: route pairs by concordance
                 # (ref: bowtie2-server wrapper:489-626 output demux)
@@ -155,8 +174,8 @@ def cmd_align(args):
                                        batch_size=args.batch):
             pairs = pal.align_batch(b1, b2)
             for r1, r2 in pairs:
-                out.write(sam_record(r1, idx.ref_names, args.rg_id) + "\n")
-                out.write(sam_record(r2, idx.ref_names, args.rg_id) + "\n")
+                write_rec(r1)
+                write_rec(r2)
                 summ.add_pair(r1, r2)
             n += 2 * len(pairs)
             n_aligned += sum(r1.aligned + r2.aligned for r1, r2 in pairs)
@@ -202,8 +221,7 @@ def cmd_align(args):
         for recs in batch_results():
             for r in recs:
                 if not (args.no_unal and not r.aligned):
-                    out.write(sam_record(r, idx.ref_names, args.rg_id)
-                              + "\n")
+                    write_rec(r)
                 if not r.secondary:
                     summ.add_unpaired(r)
                     if un_f and not r.aligned:
@@ -372,6 +390,9 @@ def main(argv=None):
     pa.add_argument("--batch", type=int, default=2048)
     pa.add_argument("-k", dest="khits", type=int, default=1)
     pa.add_argument("-a", dest="all_hits", action="store_true")
+    pa.add_argument("-M", dest="mhits", type=int, default=None,
+                    help="sample 1 best alignment when > M exist "
+                    "(ref: bt2_search.cpp:1246)")
     pa.add_argument("--nofw", action="store_true")
     pa.add_argument("--norc", action="store_true")
     pa.add_argument("--ignore-quals", dest="ignore_quals",
@@ -419,10 +440,28 @@ def main(argv=None):
                     help="accepted for compatibility (batching replaces "
                     "thread-level parallelism)")
     pa.add_argument("--seed", type=int, default=0,
-                    help="accepted for compatibility")
+                    help="global seed mixed into per-read tie-break RNG "
+                    "(ref: genRandSeed, pat.cpp:51)")
     pa.add_argument("--reorder", action="store_true",
                     help="accepted for compatibility (output is always "
                     "in input order)")
+    pa.add_argument("--passthrough", action="store_true",
+                    help="emit the %%-escaped original read record after "
+                    "each SAM record (ref: ARG_READ_PASSTHRU)")
+    pa.add_argument("--xeq", action="store_true",
+                    help="use =/X instead of M in CIGAR (ref: ARG_XEQ)")
+    pa.add_argument("--sam-append-comment", dest="sam_append_comment",
+                    action="store_true",
+                    help="append FASTQ comment to the SAM record "
+                    "(ref: ARG_SAM_APPEND_COMMENT)")
+    pa.add_argument("--sam-no-qname-trunc", dest="sam_no_qname_trunc",
+                    action="store_true",
+                    help="keep whole read names incl. whitespace "
+                    "(ref: samTruncQname)")
+    pa.add_argument("--show-rand-seed", dest="show_rand_seed",
+                    action="store_true",
+                    help="emit ZS:i per-read random seed "
+                    "(ref: ARG_SHOW_RAND_SEED)")
     pa.add_argument("-f", dest="fasta_reads", action="store_true",
                     help="reads are FASTA")
     pa.add_argument("-r", dest="raw_reads", action="store_true",

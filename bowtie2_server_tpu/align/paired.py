@@ -21,6 +21,7 @@ import numpy as np
 
 from ..io.fastq import ReadBatch
 from ..ops.sw import NEG_INF, sw_align_batch
+from ..utils.rng import RandomSource, select_by_score_order
 from .mapq import mapq_v2
 from .pipeline import AlnRec, SearchPolicy, UnpairedAligner
 
@@ -136,6 +137,17 @@ class PairedAligner:
                 if frag <= maxfrag + slack:
                     out.append((sc1 + sc2, sc1, c1, sc2, c2, False))
         out.sort(key=lambda t: (-t[0], self._approx_off(st1, t[2])))
+        # equal-score-sum streaks get the pair RNG shuffle (ref:
+        # bt2_search.cpp:3384 rnd.init(seed1 ^ seed2) + selectByScore)
+        if len(out) > 1 and any(a[0] == b[0]
+                                for a, b in zip(out, out[1:])):
+            rnd = RandomSource(self.up.read_seed(st1, i)
+                               ^ self.up.read_seed(st2, i))
+            out = [(tot, sc1, c1, sc2, c2, strict)
+                   for tot, _, (sc1, c1, sc2, c2, strict) in
+                   select_by_score_order(
+                       [(t[0], (self._approx_off(st1, t[2]), k), t[1:])
+                        for k, t in enumerate(out)], rnd)]
         return out
 
     def _rescue_jobs(self, st_anchor, st_opp, i, s_anchor, batch_opp):

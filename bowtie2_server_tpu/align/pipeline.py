@@ -19,8 +19,10 @@ advances a whole batch through fixed-shape device stages:
 
 Differences from the reference flagged for later parity work: no streak
 early-stopping (we always search every stage — more sensitive, not less),
-no per-read RNG tie-breaking (leftmost-position tie-break instead), and
-no within-seed mismatches (-N 0 only, the default).
+and no within-seed mismatches (-N 0 only, the default). Equal-score ties
+break via the per-read generator (utils/rng.py): same seed derivation and
+LCG as the reference, fresh stream at selection time (the reference's
+stream position at selection depends on its sequential search history).
 """
 from __future__ import annotations
 
@@ -45,6 +47,7 @@ from ..utils.simple_func import SimpleFunc, SQRT
 from .edits import (cigar_md_stats, edits_from_ungapped, ungapped_score,
                     traceback as rect_traceback)
 from .mapq import mapq_v2, mapq_v2_batch
+from ..utils.rng import RandomSource, gen_rand_seed, select_by_score_order
 
 
 @dataclass(frozen=True)
@@ -57,6 +60,9 @@ class SearchPolicy:
     max_sa_elts: int = 16   # per-seed-range resolution cap (ref: RowSampler role)
     maxhalf: int = 15       # DP window half-width (ref: --dpad default)
     khits: int = 1
+    mhits: int = 50         # -M: sample 1 of the best when > mhits distinct
+    msample: bool = True    # alignments exist (ref: bt2_search.cpp:369-370)
+    seed: int = 0           # --seed: global RNG seed (ref: Read::seed mix)
 
 
 @dataclass
@@ -99,6 +105,8 @@ class AlnRec:
     tlen: int = 0
     ys: int | None = None
     pair_multi: bool = False  # pair had >1 concordant combo (summary stat)
+    comment: bytes | None = None   # FASTQ header comment (--sam-append-comment)
+    orig_rec: bytes | None = None  # original record text (--passthrough)
 
 
 class ArrayCands:
@@ -357,6 +365,10 @@ class UnpairedAligner:
         for i in range(B):
             recs[i].seq = recs[i].orig_seq = batch.raw_seq[i]
             recs[i].qual = recs[i].orig_qual = batch.raw_qual[i]
+            if batch.comments is not None:
+                recs[i].comment = batch.comments[i]
+            if batch.origs is not None:
+                recs[i].orig_rec = batch.origs[i]
             if filtered[i]:
                 recs[i].filtered = True
 
@@ -455,6 +467,15 @@ class UnpairedAligner:
         ok_reads = ~res.has_rect & ~st.filtered
         handled = ok_reads & (res.best_ci < 0)   # unaligned: rec already set
         w = np.nonzero(ok_reads & (res.best_ci >= 0))[0]
+        if not len(w):
+            return handled
+        # equal-score ties at distinct ends go through the general path for
+        # per-read-RNG selection (ref: selectByScore shuffles equal-score
+        # streaks, aln_sink.cpp:1577-1594)
+        NEGH0 = NEG_INF // 2
+        tie = ((res.sec_sc[w] > NEGH0)
+               & (res.sec_sc[w] == res.best_sc[w]))
+        w = w[~tie]
         if not len(w):
             return handled
         k = res.best_ci[w]
@@ -562,6 +583,10 @@ class UnpairedAligner:
         for i in range(B):
             recs[i].seq = recs[i].orig_seq = batch.raw_seq[i]
             recs[i].qual = recs[i].orig_qual = batch.raw_qual[i]
+            if batch.comments is not None:
+                recs[i].comment = batch.comments[i]
+            if batch.origs is not None:
+                recs[i].orig_rec = batch.origs[i]
 
         # -- filters (ref: bt2_search.cpp:3323-3352) --
         n_counts = ((fw_seqs > 3) & (np.arange(L)[None, :] < lens[:, None])).sum(1)
@@ -581,7 +606,7 @@ class UnpairedAligner:
             end_joined=np.zeros(0, np.int64), fin_info=[], by_read={},
             read_arrays=None, lens=lens, minsc=minsc, perfect=perfect,
             nceil=nceil, exact_mult=exact_mult, filtered=filtered,
-            seeds_failed_r0=np.zeros(B, bool))
+            seeds_failed_r0=np.zeros(B, bool), fw_seqs=fw_seqs)
         active = ~filtered
         if not active.any():
             return empty_state
@@ -893,12 +918,32 @@ class UnpairedAligner:
             fin_info=fin_info, by_read=by_read, read_arrays=read_arrays,
             lens=lens, minsc=minsc, perfect=perfect, nceil=nceil,
             exact_mult=exact_mult, filtered=filtered,
-            seeds_failed_r0=seeds_failed_r0)
+            seeds_failed_r0=seeds_failed_r0, fw_seqs=fw_seqs)
 
-    def scored_candidates(self, st, i):
+    def read_seed(self, st, i) -> int:
+        """Per-read 32-bit seed from the read content (ref: pat.cpp:129
+        genRandSeed)."""
+        rec = st.recs[i]
+        li = int(st.lens[i])
+        codes = np.minimum(st.fw_seqs[i, :li], 4)
+        q = np.frombuffer(rec.orig_qual, np.uint8)[:li]
+        name = rec.name.encode() if isinstance(rec.name, str) else rec.name
+        return gen_rand_seed(codes, q, name, self.pol.seed)
+
+    def read_rnd(self, st, i) -> RandomSource:
+        """Per-read tie-break generator (ref: bt2_search.cpp:3386
+        rnd.init(read.seed)). The reference threads one stream through its
+        sequential search; our batch pipeline draws a fresh stream at
+        selection, keeping each read's choice deterministic and
+        batch-independent."""
+        return RandomSource(self.read_seed(st, i))
+
+    def scored_candidates(self, st, i, rnd: RandomSource | None = None):
         """Valid candidates of read i, redundancy-suppressed (dedup on
         (strand, joined end position) — ref: aligner_sw_driver.h:300
-        redAnchor / seenDiags) and sorted best-first."""
+        redAnchor / seenDiags), ordered best-first with equal-score streaks
+        shuffled by the per-read generator (ref: aln_sink.cpp:1501
+        selectByScore)."""
         msc = int(st.minsc[i])
         by_end: dict[tuple, tuple] = {}
         for ci in st.by_read.get(i, []):
@@ -909,9 +954,11 @@ class UnpairedAligner:
             cand_t = (int(st.best[ci]), ci)
             if cur is None or cand_t[0] > cur[0]:
                 by_end[key] = cand_t
-        return sorted(
-            by_end.values(),
-            key=lambda t: (-t[0], st.cands[t[1]][2], not st.cands[t[1]][1]))
+        items = [(sc, (st.cands[ci][2], not st.cands[ci][1]), ci)
+                 for sc, ci in by_end.values()]
+        if rnd is None:
+            rnd = self.read_rnd(st, i)
+        return [(sc, ci) for sc, _, ci in select_by_score_order(items, rnd)]
 
     def finish_candidate(self, st, i, ci, bsc, sec, rec=None) -> bool:
         """Traceback + commit candidate ci of read i into rec (default:

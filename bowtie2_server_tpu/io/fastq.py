@@ -24,6 +24,11 @@ class ReadBatch:
     lens: np.ndarray    # [B] int32
     raw_seq: list[bytes]   # original ASCII sequences (for SAM SEQ column)
     raw_qual: list[bytes]  # original ASCII qualities
+    # FASTQ comments (text after the first whitespace in the header) for
+    # --sam-append-comment, and original record text (readOrigBuf analog,
+    # ref: read.h:311) for --passthrough; None unless the reader kept them
+    comments: list[bytes] | None = None
+    origs: list[bytes] | None = None
 
     def __len__(self):
         return len(self.names)
@@ -52,10 +57,15 @@ def _open_maybe_compressed(path):
 
 def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000,
                trim5: int = 0, trim3: int = 0, skip: int = 0,
-               upto: int | None = None):
+               upto: int | None = None, keep_comment: bool = False,
+               keep_orig: bool = False, qname_trunc: bool = True):
     """Yield ReadBatch objects from a FASTQ file (optionally gzipped).
     trim5/trim3: -5/-3 base trimming; skip/upto: -s/-u read windowing
-    (ref: bt2_search.cpp gTrim5/gTrim3, skipReads/qUpto)."""
+    (ref: bt2_search.cpp gTrim5/gTrim3, skipReads/qUpto).
+    keep_comment: retain header comments (--sam-append-comment);
+    keep_orig: retain untrimmed record text (--passthrough, readOrigBuf);
+    qname_trunc=False: keep the whole header as the name
+    (--sam-no-qname-trunc, ref: bt2_search.cpp samTruncQname)."""
     if hasattr(path_or_handle, "read"):
         f = path_or_handle
         close = False
@@ -64,6 +74,8 @@ def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000,
         close = True
     try:
         names, seqs, quals = [], [], []
+        comments = [] if keep_comment else None
+        origs = [] if keep_orig else None
         n_seen = 0
         while True:
             h = f.readline()
@@ -84,25 +96,39 @@ def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000,
                 continue
             if upto is not None and n_seen > skip + upto:
                 break
+            if keep_orig:
+                pl = plus.strip()
+                if isinstance(pl, str):
+                    pl = pl.encode()
+                origs.append(h + b"\n" + seq + b"\n" + pl + b"\n" + qual)
             if trim5 or trim3:
                 end = len(seq) - trim3
                 seq = seq[trim5:end]
                 qual = qual[trim5:end] if qual else qual
-            name = h[1:].split()[0].decode() if h.startswith(b"@") else h.decode()
+            hdr = h[1:] if h.startswith(b"@") else h
+            if qname_trunc:
+                name = hdr.split()[0].decode()
+            else:
+                name = hdr.decode()
+            if keep_comment:
+                parts = hdr.split(None, 1)
+                comments.append(parts[1] if len(parts) > 1 else b"")
             names.append(name)
             seqs.append(seq[:max_len])
             quals.append(qual[:max_len])
             if len(names) >= batch_size:
-                yield make_batch(names, seqs, quals)
+                yield make_batch(names, seqs, quals, comments, origs)
                 names, seqs, quals = [], [], []
+                comments = [] if keep_comment else None
+                origs = [] if keep_orig else None
         if names:
-            yield make_batch(names, seqs, quals)
+            yield make_batch(names, seqs, quals, comments, origs)
     finally:
         if close:
             f.close()
 
 
-def make_batch(names, seqs, quals) -> ReadBatch:
+def make_batch(names, seqs, quals, comments=None, origs=None) -> ReadBatch:
     B = len(names)
     lmax = max((len(s) for s in seqs), default=1)
     lmax = max(lmax, 1)
@@ -118,7 +144,8 @@ def make_batch(names, seqs, quals) -> ReadBatch:
             qmat[i, : len(codes)] = 40
         lens[i] = len(codes)
     return ReadBatch(names=names, seqs=mat, quals=qmat, lens=lens,
-                     raw_seq=list(seqs), raw_qual=list(quals))
+                     raw_seq=list(seqs), raw_qual=list(quals),
+                     comments=comments, origs=origs)
 
 
 def iter_tab6(lines_iter, batch_size: int = 4096):

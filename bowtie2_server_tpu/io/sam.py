@@ -5,7 +5,112 @@ unpaired records: AS, (XS), XN, XM, XO, XG, NM, (YF), MD, YT.
 """
 from __future__ import annotations
 
+import re
+
 from ..align.pipeline import AlnRec
+
+_CIG_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+_MD_RE = re.compile(r"(\d+)|\^([A-Z]+)|([A-Z])")
+
+
+def cigar_xeq(cigar: str, md: str) -> str:
+    """Rewrite M runs as =/X runs using the MD tag (--xeq; ref:
+    bt2_search.cpp:1133 ARG_XEQ — the reference emits =/X directly from
+    the stacked alignment; splitting M by MD is equivalent)."""
+    if cigar == "*" or "M" not in cigar:
+        return cigar
+    toks = []          # (kind, n): kind '=' match run, 'X' mismatch
+    for num, dele, mm in _MD_RE.findall(md):
+        if num:
+            if int(num):
+                toks.append(["=", int(num)])
+        elif dele:
+            toks.append(["D", len(dele)])
+        else:
+            toks.append(["X", 1])
+    toks.reverse()     # consume from the end via pop()
+    out: list[list] = []
+
+    def emit(op, n):
+        if n <= 0:
+            return
+        if out and out[-1][1] == op:
+            out[-1][0] += n
+        else:
+            out.append([n, op])
+
+    for num, op in _CIG_RE.findall(cigar):
+        n = int(num)
+        if op != "M":
+            emit(op, n)
+            if op == "D" and toks and toks[-1][0] == "D":
+                toks.pop()
+            continue
+        while n > 0:
+            if not toks:           # malformed MD: keep remainder as '='
+                emit("=", n)
+                break
+            kind, k = toks[-1]
+            if kind == "D":        # MD deletion mid-M shouldn't happen
+                toks.pop()
+                continue
+            take = min(n, k)
+            emit(kind, take)
+            n -= take
+            if take == k:
+                toks.pop()
+            else:
+                toks[-1][1] = k - take
+    return "".join(f"{n}{op}" for n, op in out)
+
+
+def escape_newlines(s: bytes) -> str:
+    """%-escape newline/CR/percent (ref: sam.h:286
+    printOptFieldNewlineEscapedZ), for the --passthrough line."""
+    out = []
+    for ch in s:
+        if ch in (10, 13, 0x25):
+            out.append("%%%02X" % ch)
+        else:
+            out.append(chr(ch))
+    return "".join(out)
+
+
+def _is_illumina(comment: bytes) -> bool:
+    """Illumina CASAVA comment shape 'N:[NY]:even:...' (ref: sam.h:429)."""
+    fields = comment.split(b" ")[0].split(b":")
+    if len(fields) < 4:
+        return False
+    try:
+        if int(fields[0]) not in (1, 2):
+            return False
+        if fields[1] not in (b"N", b"Y"):
+            return False
+        if int(fields[2]) % 2 != 0:
+            return False
+    except ValueError:
+        return False
+    return True
+
+
+def passthrough_line(rec: AlnRec) -> str:
+    """The --passthrough extra line: the original read record with
+    newlines %-escaped (ref: aln_sink.cpp:2144)."""
+    orig = rec.orig_rec
+    if orig is None:
+        q = rec.orig_qual or b"I" * len(rec.orig_seq)
+        name = rec.name.encode() if isinstance(rec.name, str) else rec.name
+        orig = b"@" + name + b"\n" + rec.orig_seq + b"\n+\n" + q
+    return escape_newlines(orig)
+
+
+def comment_field(rec: AlnRec) -> str:
+    """--sam-append-comment: '\\t' + comment, prefixed BC:Z: when it looks
+    like an Illumina CASAVA field (ref: sam.h:415 printComment)."""
+    c = rec.comment or b""
+    if c and _is_illumina(c):
+        return "\tBC:Z:" + c.decode()
+    return "\t" + c.decode()
 
 FLAG_PAIRED = 0x1
 FLAG_PROPER = 0x2
@@ -54,7 +159,28 @@ def _flags(rec: AlnRec) -> int:
     return f
 
 
-def sam_record(rec: AlnRec, ref_names, rg_id: str | None = None) -> str:
+def sam_record(rec: AlnRec, ref_names, rg_id: str | None = None,
+               xeq: bool = False, append_comment: bool = False,
+               show_rand_seed: bool = False) -> str:
+    line = _sam_record_core(rec, ref_names, rg_id, xeq)
+    if show_rand_seed:
+        # ZS:i: per-read pseudo-random seed (ref: --show-rand-seed,
+        # bt2_search.cpp:1345 sam_print_zs)
+        from ..utils import dna as _dna
+        from ..utils.rng import gen_rand_seed
+        import numpy as np
+        codes = np.minimum(_dna.encode(rec.orig_seq), 4)
+        q = np.frombuffer(rec.orig_qual or b"I" * len(rec.orig_seq),
+                          np.uint8)
+        name = rec.name.encode() if isinstance(rec.name, str) else rec.name
+        line += f"\tZS:i:{gen_rand_seed(codes, q, name)}"
+    if append_comment:
+        line += comment_field(rec)
+    return line
+
+
+def _sam_record_core(rec: AlnRec, ref_names, rg_id: str | None = None,
+                     xeq: bool = False) -> str:
     seq = rec.seq.decode() if isinstance(rec.seq, bytes) else rec.seq
     qual = rec.qual.decode() if isinstance(rec.qual, bytes) else rec.qual
     if not qual:
@@ -97,6 +223,7 @@ def sam_record(rec: AlnRec, ref_names, rg_id: str | None = None) -> str:
     tags.append(f"YT:Z:{rec.yt}")
     if rg_id:
         tags.append(f"RG:Z:{rg_id}")
+    cig = cigar_xeq(rec.cigar, rec.md) if xeq else rec.cigar
     return "\t".join([
         rec.name, str(flag), ref_names[rec.ref_id], str(rec.pos + 1),
-        str(rec.mapq), rec.cigar, rnext, pnext, tlen, seq, qual] + tags)
+        str(rec.mapq), cig, rnext, pnext, tlen, seq, qual] + tags)

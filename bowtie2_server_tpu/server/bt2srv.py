@@ -170,16 +170,23 @@ class Bt2Server:
         loop = asyncio.get_running_loop()
         pending_lines = b""
         rows = []
+        # pipelined dispatch: parse of pack i+1 overlaps alignment of pack
+        # i; depth bounds per-connection in-flight work (back-pressure —
+        # the analog of the reference's sized per-connection idle queue,
+        # pat.cpp:2046-2050). Results are written in submission order.
+        inflight: list = []
+        DEPTH = 2
 
-        async def flush():
+        async def flush(final: bool = False):
             nonlocal rows
-            if not rows:
-                return
-            pack, rows = rows, []
-            data = await loop.run_in_executor(
-                self._pool, self._align_pack, pack)
-            writer.write(data)
-            await writer.drain()
+            if rows:
+                pack, rows = rows, []
+                inflight.append(loop.run_in_executor(
+                    self._pool, self._align_pack, pack))
+            while inflight and (final or len(inflight) >= DEPTH):
+                data = await inflight.pop(0)
+                writer.write(data)
+                await writer.drain()
 
         async def feed(data: bytes):
             nonlocal pending_lines, rows
@@ -217,7 +224,7 @@ class Bt2Server:
                 await feed(data)
         if pending_lines.strip():
             rows.append(_parse_tab6(pending_lines.strip()))
-        await flush()
+        await flush(final=True)
         if term:
             writer.write(b"@CO BT2SRV All Done\n")
         await writer.drain()

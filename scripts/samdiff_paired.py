@@ -38,6 +38,7 @@ def main(golden, mine, n_ex=3):
     print("mismatches:", {f: c for f, c in mismatch.items() if c})
     for f, e in ex.items():
         if e: print(f, e)
+    return full, len(g)
 
 if __name__ == "__main__":
     main(*sys.argv[1:3])

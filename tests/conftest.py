@@ -18,6 +18,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-dataset parity tier (minutes; run in CI)")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)

@@ -175,3 +175,50 @@ def test_reference_client_paired_wire_compat(server):
     for l in lines:
         f = l.split("\t")
         assert int(f[1]) & 0x2, l  # all concordant
+
+
+def test_concurrent_clients_interleaved(server):
+    """N concurrent connections are all served to completion while sharing
+    the single alignment executor (ref: the shared worker-pool model,
+    pat.cpp:2016-2086; per-connection parse, global alignment pool)."""
+    port, idx = server
+    from bowtie2_server_tpu.server.client import Bt2Client
+    from bowtie2_server_tpu.utils import dna
+    rng = np.random.default_rng(21)
+    n_clients, n_reads = 4, 150  # > batch_size=64 -> multiple packs each
+    payloads = []
+    for c in range(n_clients):
+        rows, want = [], {}
+        for i in range(n_reads):
+            s = int(rng.integers(0, idx.n - 70))
+            rows.append((f"c{c}r{i}", dna.decode(idx.joined[s : s + 70]),
+                         "I" * 70))
+            want[f"c{c}r{i}"] = s + 1
+        payloads.append((rows, want))
+    results = [None] * n_clients
+    errors = []
+
+    def run_client(c):
+        try:
+            cl = Bt2Client("127.0.0.1", port, "lambda")
+            cl.send_reads(payloads[c][0])
+            got = {}
+            for line in cl.finish():
+                f = line.split("\t")
+                got[f[0]] = int(f[3])
+            results[c] = got
+        except Exception as e:  # surface in the main thread
+            errors.append((c, e))
+
+    threads = [threading.Thread(target=run_client, args=(c,))
+               for c in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors, errors
+    for c in range(n_clients):
+        assert results[c] is not None, f"client {c} hung"
+        assert len(results[c]) == n_reads
+        for name, pos1 in payloads[c][1].items():
+            assert results[c][name] == pos1, name
