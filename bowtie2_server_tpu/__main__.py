@@ -84,6 +84,8 @@ def cmd_align(args):
         khits = 1
     elif args.khits > 1 or args.all_hits:
         polkw["mhits"], polkw["msample"] = 0, False
+    if args.seed_mms:
+        polkw["n_seed_mms"] = args.seed_mms
     pol = SearchPolicy(khits=khits, seed=args.seed, **polkw)
 
     out = open(args.S, "w") if args.S else sys.stdout
@@ -390,6 +392,10 @@ def main(argv=None):
     pa.add_argument("--batch", type=int, default=2048)
     pa.add_argument("-k", dest="khits", type=int, default=1)
     pa.add_argument("-a", dest="all_hits", action="store_true")
+    pa.add_argument("-N", dest="seed_mms", type=int, default=0,
+                    choices=(0, 1),
+                    help="mismatches allowed inside a seed "
+                    "(ref: searchSeedBi, aligner_seed.cpp:668)")
     pa.add_argument("-M", dest="mhits", type=int, default=None,
                     help="sample 1 best alignment when > M exist "
                     "(ref: bt2_search.cpp:1246)")

@@ -63,6 +63,8 @@ class SearchPolicy:
     mhits: int = 50         # -M: sample 1 of the best when > mhits distinct
     msample: bool = True    # alignments exist (ref: bt2_search.cpp:369-370)
     seed: int = 0           # --seed: global RNG seed (ref: Read::seed mix)
+    n_seed_mms: int = 0     # -N: substitutions allowed inside a seed
+                            # (ref: aligner_seed.cpp:668 searchSeedBi)
 
 
 @dataclass
@@ -324,7 +326,7 @@ class UnpairedAligner:
     def collect_async(self, batch: ReadBatch, boost=None, seed_skip=None):
         """Dispatch the device-side search for a batch (non-blocking)."""
         if (self.candgen is None or self.dp_log is not None
-                or self.timing is not None):
+                or self.timing is not None or self.pol.n_seed_mms > 0):
             return ("host", batch, boost, seed_skip)
         from .candgen import per_len
         lens = batch.lens
@@ -763,6 +765,47 @@ class UnpairedAligner:
             cand.update(zip(seed_reads_a[s_idx[keep]].tolist(),
                             seed_fw[s_idx[keep]].tolist(),
                             diag_flat[keep].tolist()))
+
+            # -N 1: seeds aligning with exactly one in-seed substitution
+            # (ref: aligner_seed.cpp:668 searchSeedBi with one allowed
+            # mismatch — the bidirectional case split becomes left halves
+            # on the fw index, right halves on the mirror index, like
+            # oneMmSearch but over seed windows)
+            if self.pol.n_seed_mms >= 1 and self.dev_mirror is not None:
+                n_text = self.idx.n
+
+                def add_seed_1mm(dev, pats, his, mirror: bool):
+                    r, _, t1, b1 = dfm.one_mm_branch_hits(
+                        dev, pats, slens, np.zeros(len(pats), np.int64),
+                        his)
+                    if not len(r):
+                        return
+                    cnt = np.minimum(b1 - t1, self.pol.max_sa_elts)
+                    offs1 = dfm.sa_resolve(dev, t1, cnt,
+                                           self.pol.max_sa_elts)
+                    ri, ei = np.nonzero(offs1 >= 0)
+                    o1 = offs1[ri, ei]
+                    rr = r[ri].astype(np.int64)
+                    sl1 = slens[rr]
+                    start1 = (n_text - o1 - sl1) if mirror else o1
+                    dg = start1 - seed_depth[rr]
+                    kp = dg > -lens[seed_reads_a[rr]]
+                    cand.update(zip(seed_reads_a[rr[kp]].tolist(),
+                                    seed_fw[rr[kp]].tolist(),
+                                    dg[kp].tolist()))
+
+                half_s = (slens // 2).astype(np.int64)
+                add_seed_1mm(self.dev, seed_pat.astype(np.uint8), half_s,
+                             mirror=False)
+                jr = np.arange(seed_pat.shape[1])[None, :]
+                srcr = slens[:, None] - 1 - jr
+                vr = srcr >= 0
+                rev_pat = np.where(
+                    vr, seed_pat[np.arange(len(seed_pat))[:, None],
+                                 np.clip(srcr, 0, seed_pat.shape[1] - 1)],
+                    5).astype(np.uint8)
+                add_seed_1mm(self.dev_mirror, rev_pat, slens - half_s,
+                             mirror=True)
             # Next round only for reads whose hits this round were highly
             # repetitive. Zero hits ends the read (ref: bt2_search.cpp:3909
             # "No seed alignments! Done with this mate"); otherwise continue

@@ -89,3 +89,34 @@ def test_lambda_local_parity(aligner):
             MD=tags.get("MD"), XM=tags.get("XM"))
     full = sum(all(golden[k][f] == mine[k][f] for f in FIELDS) for k in golden)
     assert full >= 0.98 * len(golden), f"only {full}/{len(golden)} identical"
+
+
+def test_n1_in_seed_mismatches(tmp_path):
+    """-N 1: a read whose every seed contains a mismatch (and >1 total
+    mismatches, so the full-read 1mm stage also fails) aligns only with
+    in-seed substitutions (ref: searchSeedBi, aligner_seed.cpp:668;
+    oracle-verified: -N 0 unaligned, -N 1 pos 5001 MAPQ 23 60M)."""
+    import numpy as np
+    from bowtie2_server_tpu.align.pipeline import SearchPolicy, UnpairedAligner
+    from bowtie2_server_tpu.index.build import build_index
+    from bowtie2_server_tpu.io.fastq import make_batch
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    g = rng.integers(0, 4, 30000).astype(np.uint8)
+    fa = tmp_path / "n1.fa"
+    s = bases[g].tobytes().decode()
+    fa.write_text(">n1\n" + "\n".join(s[i:i+70]
+                                      for i in range(0, len(s), 70)) + "\n")
+    idx = build_index(str(fa))
+    read = g[5000:5060].copy()
+    for p in (10, 30, 50):
+        read[p] = (read[p] + 1) % 4
+    batch = make_batch(["n1r"], [bases[read].tobytes()], [b"I" * 60])
+
+    rec0 = UnpairedAligner(idx).align_batch(batch)[0]
+    assert not rec0.aligned
+    al1 = UnpairedAligner(idx, policy=SearchPolicy(n_seed_mms=1))
+    rec1 = al1.align_batch(batch)[0]
+    assert rec1.aligned and rec1.pos == 5000 and rec1.cigar == "60M"
+    assert rec1.mapq == 23 and rec1.xm == 3
