@@ -100,10 +100,11 @@ def cmd_align(args):
     t0 = time.time()
     n = n_aligned = 0
     fq_kw = dict(batch_size=args.batch, trim5=args.trim5, trim3=args.trim3,
-                 skip=args.skip, upto=args.upto,
-                 keep_comment=args.sam_append_comment,
-                 keep_orig=args.passthrough,
-                 qname_trunc=not args.sam_no_qname_trunc)
+                 skip=args.skip, upto=args.upto)
+    # extra retention only the FASTQ reader supports
+    fastq_kw = dict(fq_kw, keep_comment=args.sam_append_comment,
+                    keep_orig=args.passthrough,
+                    qname_trunc=not args.sam_no_qname_trunc)
 
     sam_kw = dict(xeq=args.xeq, append_comment=args.sam_append_comment,
                   show_rand_seed=args.show_rand_seed)
@@ -136,8 +137,8 @@ def cmd_align(args):
                             no_discordant=args.no_discordant)
         pal.up.nofw, pal.up.norc = args.nofw, args.norc
         from .io.fastq import prefetch
-        it1 = prefetch(iter_fastq(args.m1, **fq_kw))
-        it2 = prefetch(iter_fastq(args.m2, **fq_kw))
+        it1 = prefetch(iter_fastq(args.m1, **fastq_kw))
+        it2 = prefetch(iter_fastq(args.m2, **fastq_kw))
         unc_f = [open(args.un_conc.replace("%", str(m)), "w")
                  for m in (1, 2)] if args.un_conc else None
         alc_f = [open(args.al_conc.replace("%", str(m)), "w")
@@ -192,15 +193,27 @@ def cmd_align(args):
                                             batch_size=args.batch)
         elif args.fasta_reads:
             reads_iter = iter_fasta_reads(args.U, **fq_kw)
+        elif args.qseq_reads:
+            from .io.fastq import iter_qseq
+            reads_iter = iter_qseq(args.U, batch_size=args.batch,
+                                   trim5=args.trim5, trim3=args.trim3,
+                                   skip=args.skip, upto=args.upto)
+        elif args.fasta_cont:
+            from .io.fastq import iter_fasta_continuous
+            kv = dict(p.split(":", 1) for p in args.fasta_cont.split(","))
+            reads_iter = iter_fasta_continuous(
+                args.U, length=int(kv["k"]), freq=int(kv.get("i", 1)),
+                batch_size=args.batch)
         elif args.raw_reads:
             reads_iter = iter_raw_reads(args.U, batch_size=args.batch)
         elif args.tab_reads:
             reads_iter = (b for b, _ in iter_tab_file(
                 args.U, batch_size=args.batch))
         else:
-            reads_iter = iter_fastq(args.U, **fq_kw)
+            reads_iter = iter_fastq(args.U, **fastq_kw)
         al = UnpairedAligner(idx, scoring=sc, policy=pol,
                              nofw=args.nofw, norc=args.norc)
+        al.qc_filter = args.qc_filter
         if args.dp_log:
             al.dp_log = open(args.dp_log, "w")
         if args.timing:
@@ -470,6 +483,13 @@ def main(argv=None):
                     "(ref: ARG_SHOW_RAND_SEED)")
     pa.add_argument("-f", dest="fasta_reads", action="store_true",
                     help="reads are FASTA")
+    pa.add_argument("--qseq", dest="qseq_reads", action="store_true",
+                    help="reads are Illumina qseq (ref: read_qseq.cpp)")
+    pa.add_argument("-F", dest="fasta_cont", default=None,
+                    help="k:<len>,i:<ivl> FASTA-continuous windows "
+                    "(ref: pat.h:956)")
+    pa.add_argument("--qc-filter", dest="qc_filter", action="store_true",
+                    help="drop reads whose qseq filter flag is 0")
     pa.add_argument("-r", dest="raw_reads", action="store_true",
                     help="reads are raw one-per-line")
     pa.add_argument("-c", dest="cmdline_reads", default=None,

@@ -109,6 +109,7 @@ class AlnRec:
     pair_multi: bool = False  # pair had >1 concordant combo (summary stat)
     comment: bytes | None = None   # FASTQ header comment (--sam-append-comment)
     orig_rec: bytes | None = None  # original record text (--passthrough)
+    yf: str = "NS"                 # filter reason when filtered (YF:Z:)
 
 
 class ArrayCands:
@@ -239,6 +240,7 @@ class UnpairedAligner:
             gapbar=self.sc.gapbar, local=self.sc.local)
         self.dp_log = None   # file handle: log DP problems (ref: --dp-log)
         self.timing = None   # dict: stage wall-clock accumulation (ref: -t)
+        self.qc_filter = False  # --qc-filter: honor qseq QC flags
         # fused device pipeline (align/candgen.py) — the fast path
         self.candgen = None
         if self.dev_mirror is not None:
@@ -337,6 +339,8 @@ class UnpairedAligner:
         minsc = per_len(self.sc.score_min_for, lens)
         perfect = per_len(self.sc.perfect_score, lens)
         filtered = ((lens == 0) | (n_counts > nceil) | (perfect < minsc))
+        if self.qc_filter and batch.qc_fail is not None:
+            filtered = filtered | batch.qc_fail
         active = ~filtered
         h = self.candgen.dispatch(
             batch.seqs, batch.quals, lens,
@@ -373,6 +377,9 @@ class UnpairedAligner:
                 recs[i].orig_rec = batch.origs[i]
             if filtered[i]:
                 recs[i].filtered = True
+                if self.qc_filter and batch.qc_fail is not None \
+                        and batch.qc_fail[i]:
+                    recs[i].yf = "QC"
 
         fw_seqs, fw_quals = batch.seqs, batch.quals
         rc_seqs, rc_quals = revcomp_batch(fw_seqs, fw_quals, lens)
@@ -598,6 +605,10 @@ class UnpairedAligner:
         minsc = np.array([self.sc.score_min_for(int(l)) for l in lens])
         perfect = np.array([self.sc.perfect_score(int(l)) for l in lens])
         filtered |= perfect < minsc
+        if self.qc_filter and batch.qc_fail is not None:
+            filtered = filtered | batch.qc_fail
+            for i in np.nonzero(batch.qc_fail)[0]:
+                recs[i].yf = "QC"
         for i in np.nonzero(filtered)[0]:
             recs[i].filtered = True
 

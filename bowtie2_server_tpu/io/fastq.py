@@ -29,6 +29,8 @@ class ReadBatch:
     # ref: read.h:311) for --passthrough; None unless the reader kept them
     comments: list[bytes] | None = None
     origs: list[bytes] | None = None
+    # Qseq filter flags ('0' = failed QC; ref: read_qseq.cpp:217)
+    qc_fail: np.ndarray | None = None
 
     def __len__(self):
         return len(self.names)
@@ -220,6 +222,99 @@ def iter_fasta_reads(path, batch_size: int = 4096, trim5=0, trim3=0,
     if names:
         out.append(make_batch(names, seqs, quals))
     yield from out
+
+
+def iter_qseq(path, batch_size: int = 4096, trim5=0, trim3=0, skip=0,
+              upto=None, phred64: bool = False):
+    """Illumina Qseq input (--qseq; ref: read_qseq.cpp:52 QseqPatternSource).
+
+    11 tab fields: machine, run, lane, tile, x, y, index, mate, seq, quals,
+    filter. Name = first 7 fields '_'-joined + '/' + mate; '.' bases are N;
+    the filter flag ('0' = failed QC) rides on the batch as `qc_fail` for
+    --qc-filter (ref: read.h filter, bt2_search.cpp qcFilter)."""
+    f = _open_maybe_compressed(path)
+    names, seqs, quals, qc = [], [], [], []
+    n_seen = 0
+    with f:
+        for line in f:
+            if isinstance(line, str):
+                line = line.encode()
+            line = line.rstrip(b"\r\n")
+            if not line:
+                continue
+            fields = line.split(b"\t")
+            if len(fields) < 11:
+                raise ValueError(f"qseq line has {len(fields)} fields, "
+                                 "expected 11")
+            n_seen += 1
+            if n_seen <= skip:
+                continue
+            if upto is not None and n_seen > skip + upto:
+                break
+            name = b"_".join(fields[:7]).decode() + "/" + fields[7].decode()
+            seq = fields[8].replace(b".", b"N")
+            qual = fields[9]
+            if phred64:
+                qual = bytes(max(33, q - 31) for q in qual)
+            end = len(seq) - trim3
+            seq, qual = seq[trim5:end], qual[trim5:end]
+            filt = fields[10][:1]
+            if filt not in (b"0", b"1"):
+                raise ValueError(f"bad qseq filter flag {filt!r}")
+            names.append(name)
+            seqs.append(seq)
+            quals.append(qual)
+            qc.append(filt == b"0")
+            if len(names) >= batch_size:
+                b = make_batch(names, seqs, quals)
+                b.qc_fail = np.array(qc, bool)
+                yield b
+                names, seqs, quals, qc = [], [], [], []
+    if names:
+        b = make_batch(names, seqs, quals)
+        b.qc_fail = np.array(qc, bool)
+        yield b
+
+
+def iter_fasta_continuous(path, length: int, freq: int = 1,
+                          batch_size: int = 4096):
+    """FASTA-continuous input (-F k:<len>,i:<ivl>; ref: pat.h:956
+    FastaContinuousPatternSource): cut every reference sequence into
+    length-k windows every `freq` bases, named <seqname>_<offset>."""
+    f = _open_maybe_compressed(path)
+    names, seqs, quals = [], [], []
+
+    def windows(name, seq):
+        nonlocal names, seqs, quals
+        out = []
+        for off in range(0, max(len(seq) - length + 1, 0), freq):
+            names.append(f"{name}_{off}")
+            seqs.append(seq[off : off + length])
+            quals.append(b"I" * length)
+            if len(names) >= batch_size:
+                out.append(make_batch(names, seqs, quals))
+                names, seqs, quals = [], [], []
+        return out
+
+    cur_name, parts = None, []
+    with f:
+        for line in f:
+            if isinstance(line, str):
+                line = line.encode()
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if cur_name is not None:
+                    yield from windows(cur_name, b"".join(parts))
+                cur_name = line[1:].split()[0].decode()
+                parts = []
+            else:
+                parts.append(line)
+        if cur_name is not None:
+            yield from windows(cur_name, b"".join(parts))
+    if names:
+        yield make_batch(names, seqs, quals)
 
 
 def iter_raw_reads(path, batch_size: int = 4096, **kw):

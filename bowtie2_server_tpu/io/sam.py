@@ -197,7 +197,7 @@ def _sam_record_core(rec: AlnRec, ref_names, rg_id: str | None = None,
             rname, pos, rnext, pnext = "*", "0", "*", "0"
         tags = []
         if rec.filtered:
-            tags.append("YF:Z:NS")
+            tags.append(f"YF:Z:{rec.yf}")
         tags.append(f"YT:Z:{rec.yt}")
         if rg_id:
             tags.append(f"RG:Z:{rg_id}")

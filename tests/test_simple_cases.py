@@ -152,3 +152,64 @@ def test_simple_paired_discordant_orientation(idx):
     r1, r2 = pal.align_batch(b1, b2)[0]
     assert r1.aligned and r2.aligned
     assert not r1.proper and r1.yt == "DP" and r2.yt == "DP"
+
+
+def test_qseq_input(tmp_path, lambda_fasta):
+    """--qseq parsing: 11 tab fields, '_'-joined name + /mate, '.'->N,
+    filter flag (ref: read_qseq.cpp:52-240)."""
+    from bowtie2_server_tpu.io.fastq import iter_qseq
+    q = tmp_path / "r.qseq"
+    q.write_text(
+        "M1\t42\t3\t7\t100\t200\tACGT\t1\tAC.T\tIIII\t1\n"
+        "M1\t42\t3\t7\t100\t201\tACGT\t1\tGGGG\tIIII\t0\n")
+    batches = list(iter_qseq(str(q)))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.names == ["M1_42_3_7_100_200_ACGT/1", "M1_42_3_7_100_201_ACGT/1"]
+    assert bytes(b.raw_seq[0]) == b"AC.T".replace(b".", b"N")
+    assert b.qc_fail.tolist() == [False, True]
+    # encoded N at the '.' position
+    assert b.seqs[0, 2] > 3
+
+
+def test_fasta_continuous_windows(tmp_path):
+    """-F k:<len>,i:<ivl> cuts the FASTA into windows named
+    <seq>_<offset> (ref: pat.h:956 FastaContinuousPatternSource)."""
+    from bowtie2_server_tpu.io.fastq import iter_fasta_continuous
+    fa = tmp_path / "g.fa"
+    fa.write_text(">s1\nACGTACGTAC\n>s2\nTTTTTT\n")
+    batches = list(iter_fasta_continuous(str(fa), length=6, freq=2))
+    names = [n for b in batches for n in b.names]
+    seqs = [s for b in batches for s in b.raw_seq]
+    assert names == ["s1_0", "s1_2", "s1_4", "s2_0"]
+    assert seqs[0] == b"ACGTAC" and seqs[1] == b"GTACGT"
+    assert seqs[3] == b"TTTTTT"
+
+
+def test_qc_filter_marks_yf_qc(tmp_path):
+    """--qc-filter: qseq filter-flag-0 reads are excluded from alignment
+    and emitted unaligned with YF:Z:QC (ref: bt2_search.cpp qcFilter,
+    AlnFlags qcfilt)."""
+    import numpy as np
+    from bowtie2_server_tpu.align.pipeline import UnpairedAligner
+    from bowtie2_server_tpu.index.build import build_index
+    from bowtie2_server_tpu.io.fastq import make_batch
+    from bowtie2_server_tpu.io.sam import sam_record
+
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    g = rng.integers(0, 4, 5000).astype(np.uint8)
+    fa = tmp_path / "g.fa"
+    s = bases[g].tobytes().decode()
+    fa.write_text(">g\n" + "\n".join(s[i:i+70]
+                                     for i in range(0, len(s), 70)) + "\n")
+    idx = build_index(str(fa))
+    rd = bases[g[100:170]].tobytes()
+    batch = make_batch(["a", "b"], [rd, rd], [b"I" * 70, b"I" * 70])
+    batch.qc_fail = np.array([False, True])
+    al = UnpairedAligner(idx)
+    al.qc_filter = True
+    recs = al.align_batch(batch)
+    assert recs[0].aligned and recs[0].pos == 100
+    assert not recs[1].aligned and recs[1].filtered
+    assert "YF:Z:QC" in sam_record(recs[1], idx.ref_names)
