@@ -314,9 +314,12 @@ def cmd_client(args):
                            b2.names[i] + "/2", b2.raw_seq[i], b2.raw_qual[i])
     else:
         def rows():
+            # unpaired reads carry a /1 suffix on the wire, and the server
+            # echoes it in SAM (ref: pat.cpp:2289 — the web client expects
+            # mate-1 names to already end in /1)
             for b in iter_fastq(args.U, batch_size=1024):
                 for i in range(len(b)):
-                    yield (b.names[i], b.raw_seq[i], b.raw_qual[i])
+                    yield (b.names[i] + "/1", b.raw_seq[i], b.raw_qual[i])
     cl.send_reads(rows())
     out = open(args.S, "w") if args.S else sys.stdout
     n = 0

@@ -195,10 +195,10 @@ def _sam_record_core(rec: AlnRec, ref_names, rg_id: str | None = None,
             rnext, pnext = "=", str(rec.mate_pos + 1)
         else:
             rname, pos, rnext, pnext = "*", "0", "*", "0"
-        tags = []
+        # YT precedes YF (ref: sam.cpp:318-335 printYT then printYF)
+        tags = [f"YT:Z:{rec.yt}"]
         if rec.filtered:
             tags.append(f"YF:Z:{rec.yf}")
-        tags.append(f"YT:Z:{rec.yt}")
         if rg_id:
             tags.append(f"RG:Z:{rg_id}")
         return "\t".join([
