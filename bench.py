@@ -81,8 +81,12 @@ def main():
         for i in range(0, N_READS, BATCH)
     ]
     # warmup/compile on the first batch
+    def count_aligned(recs):
+        return (recs.n_aligned() if hasattr(recs, "n_aligned")
+                else sum(r.aligned for r in recs))
+
     recs = al.align_batch(batches[0])
-    n_aligned = sum(r.aligned for r in recs)
+    n_aligned = count_aligned(recs)
     t0 = time.time()
     n = len(batches[0])
     # double-buffered: device works on batch i+1 while the host finishes i
@@ -94,10 +98,10 @@ def main():
         n += len(b)
         if len(inflight) >= DEPTH:
             recs = al.align_wait(inflight.popleft())
-            n_aligned += sum(r.aligned for r in recs)
+            n_aligned += count_aligned(recs)
     while inflight:
         recs = al.align_wait(inflight.popleft())
-        n_aligned += sum(r.aligned for r in recs)
+        n_aligned += count_aligned(recs)
     dt = time.time() - t0
     reads_per_s = (n - len(batches[0])) / dt
     out = {

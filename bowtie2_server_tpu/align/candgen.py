@@ -180,6 +180,7 @@ _LEN_BITS = 20
 _F_ACT_FW = 1 << 20
 _F_ACT_RC = 1 << 21
 _F_SEED_R0 = 1 << 22
+_F_EXACT_ONLY = 1 << 23   # report only perfect-score hits (seed_skip reads)
 
 
 # ------------------------------------------------------------- fused kernel -
@@ -191,7 +192,8 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
 
     packed2: [2, B, L] uint8 — byte 255 = pad/N, else code<<6|min(qual,63);
              slot 0 left-aligned, slot 1 right-aligned
-    meta:    [B, 4] int32 — [len|flag bits, minsc, seed interval, nrounds]
+    meta:    [B, 5] int32 — [len|flag bits, minsc, seed interval, nrounds,
+             perfect score]
     mmtab:   [64] int32 — mismatch penalty per (clamped) quality
 
     Returns out_pack [5, C_max] int32:
@@ -213,9 +215,11 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     act_fw = (m0 & _F_ACT_FW) > 0
     act_rc = (m0 & _F_ACT_RC) > 0
     seed_r0_active = (m0 & _F_SEED_R0) > 0
+    ex_only = (m0 & _F_EXACT_ONLY) > 0
     minsc = meta[:, 1]
     interval = jnp.maximum(meta[:, 2], 1)
     nrounds = jnp.maximum(meta[:, 3], 1)
+    perfect = meta[:, 4]
 
     la, ra = packed2[0], packed2[1]
     is_n = la == 255
@@ -254,57 +258,60 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     half2 = lens2 // 2
 
     # ---- stage 1: recorded backward pass, both strands on the fw index ----
-    # Static-column character reads: the fw strand steps right-to-left over
-    # the right-aligned layout; the rc strand's char rc[len-1-s] equals
-    # comp(fw[s]), a left-aligned static column (ref: exactSweep's fw/rc
-    # interleaving for prefetch overlap, aligner_seed.cpp:854-933).
-    # In the fast shape the per-step (tops, bots) recording has no consumer
-    # (the left-half branch stage is subsumed by seed hits: a branch at p
-    # requires the suffix [p+1, len) to match exactly, and that suffix
-    # always contains an intact instantiated seed — the fast-shape
-    # condition guarantees a seed avoiding any one position), so only the
-    # final range is carried.
-    record = cfg.has_short
+    # GENERAL SHAPE ONLY. Static-column character reads: the fw strand
+    # steps right-to-left over the right-aligned layout; the rc strand's
+    # char rc[len-1-s] equals comp(fw[s]), a left-aligned static column
+    # (ref: exactSweep's fw/rc interleaving for prefetch overlap,
+    # aligner_seed.cpp:854-933).
+    #
+    # In the FAST shape the whole L-step LF chain is dropped (it was the
+    # dominant device cost: L sequential gather-latency-bound steps). A
+    # full-read exact match puts every instantiated seed on its diagonal,
+    # so the k-mer seed lookup of stage 3 necessarily produces that
+    # diagonal and the banded DP of stage 6 scores it `perfect` — exact
+    # hits and their multiplicity (ref: exactSweep's nelt,
+    # bt2_search.cpp:3461) are recovered from the DP scores in stage 7.
+    # The only information loss is a seed range clipped at E elements
+    # possibly hiding extra exact copies; those reads get the
+    # conservative exact_mult = E+1 escape below.
+    # range sources: (lane, depth, top, cnt, src) with src 0=fw SA,
+    # 1=mirror SA, 2=seed position table
+    r_lane, r_depth, r_top, r_cnt, r_src = [], [], [], [], []
+    if cfg.has_short:
+        def rec_body(step, carry):
+            top, bot = carry[0], carry[1]
+            c_f = jax.lax.dynamic_slice_in_dim(
+                ra_codes, L - 1 - step, 1, 1)[:, 0]
+            c_r = jax.lax.dynamic_slice_in_dim(comp_la, step, 1, 1)[:, 0]
+            c = jnp.concatenate([c_f, c_r])
+            nt, nb = dfm.lf_step(didx.fw, c, top, bot)
+            active = step < lens2
+            top = jnp.where(active, nt, top)
+            bot = jnp.where(active, nb, bot)
+            tops = jax.lax.dynamic_update_index_in_dim(
+                carry[2], top, step + 1, 1)
+            bots = jax.lax.dynamic_update_index_in_dim(
+                carry[3], bot, step + 1, 1)
+            return top, bot, tops, bots
 
-    def rec_body(step, carry):
-        top, bot = carry[0], carry[1]
-        c_f = jax.lax.dynamic_slice_in_dim(ra_codes, L - 1 - step, 1, 1)[:, 0]
-        c_r = jax.lax.dynamic_slice_in_dim(comp_la, step, 1, 1)[:, 0]
-        c = jnp.concatenate([c_f, c_r])
-        nt, nb = dfm.lf_step(didx.fw, c, top, bot)
-        active = step < lens2
-        top = jnp.where(active, nt, top)
-        bot = jnp.where(active, nb, bot)
-        if not record:
-            return (top, bot)
-        tops = jax.lax.dynamic_update_index_in_dim(carry[2], top, step + 1, 1)
-        bots = jax.lax.dynamic_update_index_in_dim(carry[3], bot, step + 1, 1)
-        return top, bot, tops, bots
-
-    top0 = jnp.zeros(2 * B, jnp.int32)
-    bot0 = jnp.broadcast_to(didx.fw.n.astype(jnp.int32), (2 * B,))
-    lane_i = jnp.arange(2 * B)
-    if record:
+        top0 = jnp.zeros(2 * B, jnp.int32)
+        bot0 = jnp.broadcast_to(didx.fw.n.astype(jnp.int32), (2 * B,))
+        lane_i = jnp.arange(2 * B)
         tops = jnp.zeros((2 * B, L + 1), jnp.int32).at[:, 0].set(top0)
         bots = jnp.zeros((2 * B, L + 1), jnp.int32).at[:, 0].set(bot0)
         _, _, tops, bots = jax.lax.fori_loop(0, L, rec_body,
                                              (top0, bot0, tops, bots))
         et = tops[lane_i, jnp.clip(lens2, 0, L)]
         eb = bots[lane_i, jnp.clip(lens2, 0, L)]
-    else:
-        et, eb = jax.lax.fori_loop(0, L, rec_body, (top0, bot0))
-    exact_ok = act2 & (et < eb)
-    exact_cnt = jnp.where(exact_ok, eb - et, 0).astype(jnp.uint32)
-    exact_mult = jnp.minimum(exact_cnt[:B] + exact_cnt[B:],
-                             jnp.uint32(1 << 30)).astype(jnp.int32)
-
-    # range sources: (lane, depth, top, cnt, src) with src 0=fw SA,
-    # 1=mirror SA, 2=seed position table
-    r_lane = [lane_i]
-    r_depth = [jnp.zeros(2 * B, jnp.int32)]
-    r_top = [et]
-    r_cnt = [jnp.minimum(jnp.where(exact_ok, eb - et, 0), E)]
-    r_src = [jnp.zeros(2 * B, jnp.int32)]
+        exact_ok = act2 & (et < eb)
+        exact_cnt = jnp.where(exact_ok, eb - et, 0).astype(jnp.uint32)
+        exact_mult = jnp.minimum(exact_cnt[:B] + exact_cnt[B:],
+                                 jnp.uint32(1 << 30)).astype(jnp.int32)
+        r_lane.append(lane_i)
+        r_depth.append(jnp.zeros(2 * B, jnp.int32))
+        r_top.append(et)
+        r_cnt.append(jnp.minimum(jnp.where(exact_ok, eb - et, 0), E))
+        r_src.append(jnp.zeros(2 * B, jnp.int32))
 
     # ---- stage 2: substitution branches ----
     if not cfg.has_short:
@@ -353,6 +360,9 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     # ---- stage 3: seed rounds ----
     round_active = seed_r0_active
     seeds_failed_r0 = jnp.zeros(B, bool)
+    # a full-read exact copy is in EVERY seed's range, so clipping can hide
+    # one only when ALL of a strand's round-0 seed ranges clipped at E
+    read_clip = jnp.zeros(B, bool)
 
     if not cfg.has_short:
         # k-mer position table: rolling keys (no gathers), fixed-trip
@@ -373,7 +383,12 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
         ncum = jnp.pad(ncum, ((0, 0), (0, Ls)), mode="edge")
 
         for r in range(cfg.R):
-            sv = seed_valid[:, r, :] & round_active[:, None]     # [B, S]
+            # round 0 also looks up seeds of exact-only (seed_skip) reads —
+            # their exact diagonal is on every seed — but they never count
+            # toward the reseeding stats below
+            lk_active = (round_active | (ex_only & (act_fw | act_rc))
+                         if r == 0 else round_active)
+            sv = seed_valid[:, r, :] & lk_active[:, None]        # [B, S]
             d_fw = seed_start[:, r, :]                           # [B, S]
             d_rc = lens[:, None] - d_fw - Ls
             dc = jnp.clip(d_fw, 0, L - 1)
@@ -409,12 +424,24 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
             r_src.append(jnp.full(lane_all.shape[0], 2, jnp.int32))
 
             read_of = lane_all % B
-            inst = jax.ops.segment_sum(val_all.astype(jnp.int32), read_of,
+            if r == 0:
+                unclip2 = jax.ops.segment_max(
+                    (val_all & (cnt <= E)).astype(jnp.int32), lane_all,
+                    num_segments=2 * B) > 0
+                any2 = jax.ops.segment_max(
+                    val_all.astype(jnp.int32), lane_all,
+                    num_segments=2 * B) > 0
+                allclip2 = any2 & ~unclip2
+                read_clip = allclip2[:B] | allclip2[B:]
+            # reseeding stats never include exact-only lanes
+            st_ok = val_all & ~ex_only[read_of]
+            inst = jax.ops.segment_sum(st_ok.astype(jnp.int32), read_of,
                                        num_segments=B)
-            nonz = jax.ops.segment_sum(hit.astype(jnp.int32), read_of,
-                                       num_segments=B)
-            tot = jax.ops.segment_sum(cnt.astype(jnp.int32), read_of,
-                                      num_segments=B)
+            nonz = jax.ops.segment_sum((hit & st_ok).astype(jnp.int32),
+                                       read_of, num_segments=B)
+            tot = jax.ops.segment_sum(
+                jnp.where(st_ok, cnt, 0).astype(jnp.int32), read_of,
+                num_segments=B)
             if r == 0:
                 seeds_failed_r0 = seed_r0_active & ((inst == 0) | (nonz == 0))
             round_active = round_active & (inst > 0) & (nonz > 0) & \
@@ -486,6 +513,15 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     NR = r_lane.shape[0]
     NH = cfg.NH
 
+    def _cut(*vals):   # debug engines: stop here, defeat DCE
+        acc = jnp.int32(0)
+        for v in vals:
+            acc = acc + v.astype(jnp.int32).sum()
+        return jnp.broadcast_to(acc, (5, cfg.C_max))
+
+    if cfg.engine == "cut_seeds":
+        return _cut(r_lane, r_depth, r_top, r_cnt, r_src)
+
     hitr = r_cnt > 0
     n_hit = jnp.sum(hitr.astype(jnp.int32))
     hsel = jnp.nonzero(hitr, size=NH, fill_value=NR)[0]
@@ -520,6 +556,8 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
         off = jnp.where(src == 2, off_pos, off_fw)
         diag = off - h_depth[ridx]
     e_ok = ~pad & (diag > -rl)
+    if cfg.engine == "cut_resolve":
+        return _cut(off, diag, lane, e_ok)
 
     # ---- stage 5: dedup on (lane, diag) via 2-key sort ----
     key_lane = jnp.where(e_ok, lane, jnp.int32(1 << 30))
@@ -536,6 +574,8 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     c_lane = jnp.where(cpad, 0, s_lane[cselc])
     c_diag = jnp.where(cpad, 0, s_diag[cselc])
     c_valid = ~cpad
+    if cfg.engine == "cut_dedup":
+        return _cut(c_lane, c_diag, c_valid, n_cand)
 
     # ---- stage 6: banded DP over interior candidates ----
     K = cfg.K
@@ -576,6 +616,8 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     rd_t = rd_c.T.astype(jnp.int32)
     mm_t = mm_c.T.astype(jnp.int32)
     band_t = band.T
+    if cfg.engine == "cut_band":
+        return _cut(rd_t, mm_t, band_t, interior)
     if cfg.engine == "pallas":
         call = _pallas_banded(cfg.sw, K, L, Cx // LANES, False)
         best, bi, bk = call(rd_t, mm_t, lens_c[None, :].astype(jnp.int32),
@@ -593,6 +635,9 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
 
     # ---- stage 7: per-read selection (best + secbest-distinct-end) ----
     sel_ok = interior & (c_score >= minsc[c_read])
+    if not cfg.has_short:
+        # exact-only (seed_skip) reads report only perfect-score hits
+        sel_ok &= ~ex_only[c_read] | (c_score == perfect[c_read])
     NEG = jnp.int32(NEG_INF)
     sc = jnp.where(sel_ok, c_score, NEG)
     best_sc = _seg_max(sc, c_read, B)
@@ -615,6 +660,17 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     sec_sc = _seg_max(jnp.where(sec_ok, c_score, NEG), c_read, B)
     has_rect = jnp.maximum(
         _seg_max((c_valid & ~interior).astype(jnp.int32), c_read, B), 0)
+
+    if not cfg.has_short:
+        # exact hits recovered from DP scores (ref: exactSweep's nelt,
+        # bt2_search.cpp:3461): a perfect-score candidate IS a full-read
+        # exact match. A clipped seed range may hide further exact copies
+        # of a perfectly-matching read -> conservative E+1 escape.
+        is_perf = sel_ok & (c_score == perfect[c_read])
+        n_perf = jax.ops.segment_sum(is_perf.astype(jnp.int32), c_read,
+                                     num_segments=B)
+        exact_mult = jnp.where(read_clip & (best_sc == perfect),
+                               jnp.int32(E + 1), n_perf).astype(jnp.int32)
 
     # ---- pack outputs (single D2H array) ----
     row0 = ((c_read << 4) | (c_fw.astype(jnp.int32) << 2)
@@ -783,7 +839,7 @@ class CandGen:
         return hit
 
     def dispatch(self, seqs, quals, lens, act_fw, act_rc, minsc, mmtab,
-                 boost=None, seed_skip=None):
+                 perfect=None, boost=None, seed_skip=None):
         """seqs/quals: [B0, L0] uint8/int; lens [B0]. Returns an opaque
         handle (device arrays still in flight) for fetch()."""
         B0, L0 = seqs.shape
@@ -834,16 +890,20 @@ class CandGen:
         rows_e = np.broadcast_to(np.arange(B0)[:, None], (B0, L0))
         packed[1, rows_e[valid_e], dest[valid_e]] = enc[valid_e]
 
-        meta = np.zeros((Bp, 4), np.int32)
+        meta = np.zeros((Bp, 5), np.int32)
         m0 = lens_i.copy()
         m0 |= np.where(np.asarray(act_fw, bool), _F_ACT_FW, 0)
         m0 |= np.where(np.asarray(act_rc, bool), _F_ACT_RC, 0)
-        r0 = active & ~np.asarray(seed_skip, bool)
+        ss = np.asarray(seed_skip, bool)
+        r0 = active & ~ss
         m0 |= np.where(r0, _F_SEED_R0, 0)
+        m0 |= np.where(active & ss, _F_EXACT_ONLY, 0)
         meta[:B0, 0] = m0.astype(np.int32)
         meta[:B0, 1] = np.asarray(minsc, np.int32)
         meta[:B0, 2] = interval.astype(np.int32)
         meta[:B0, 3] = nrounds.astype(np.int32)
+        if perfect is not None:
+            meta[:B0, 4] = np.asarray(perfect, np.int32)
 
         GRID = 4 << 20
         Bl = B_local
@@ -863,6 +923,13 @@ class CandGen:
             out = _sharded_pipeline(cfg, self.mesh)(self.didx, dkm, *args)
         else:
             out = fused_pipeline(self.didx, dkm, cfg, *args)
+        # enqueue the D2H copy now: it streams back as soon as the program
+        # finishes, overlapping the host's work on the previous batch (the
+        # tunnel D2H has ~30 ms base latency otherwise paid in fetch())
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         return (B0, out, cfg, ndev)
 
     def fetch(self, handle) -> BatchResult:

@@ -205,6 +205,108 @@ class LazyFin:
         self._n += 1
 
 
+class FastSoA:
+    """Vectorized results of the ungapped fast-commit path (_finish_fast):
+    everything needed to materialize an AlnRec — or emit a SAM line — with
+    no per-read Python work at commit time (ref: the role of AlnRes +
+    staged SAM flush, aligner_result.h:792, but array-of-columns instead
+    of object-per-read)."""
+
+    __slots__ = ("filled", "tidx", "fw", "ref_id", "pos", "score",
+                 "sec_has", "sec", "mapq", "nm", "rl",
+                 "mm_split", "mm_cols", "mm_ref")
+
+    _BASES = "ACGTN"
+
+    def md(self, t: int) -> str:
+        """MD:Z string of compact row t."""
+        rl = int(self.rl[t])
+        lo, hi = int(self.mm_split[t]), int(self.mm_split[t + 1])
+        if lo == hi:
+            return str(rl)
+        parts = []
+        last = 0
+        for k in range(lo, hi):
+            p = int(self.mm_cols[k])
+            parts.append(str(p - last))
+            parts.append(self._BASES[min(int(self.mm_ref[k]), 4)])
+            last = p + 1
+        parts.append(str(rl - last))
+        return "".join(parts)
+
+    def fill(self, rec: "AlnRec", i: int):
+        t = int(self.tidx[i])
+        rl = int(self.rl[t])
+        rec.aligned = True
+        rec.fw = bool(self.fw[t])
+        rec.ref_id = int(self.ref_id[t])
+        rec.pos = int(self.pos[t])
+        rec.score = int(self.score[t])
+        rec.secbest = int(self.sec[t]) if self.sec_has[t] else None
+        rec.mapq = int(self.mapq[t])
+        rec.cigar = f"{rl}M"
+        rec.nm = rec.xm = int(self.nm[t])
+        rec.xo = rec.xg = rec.xn = 0
+        rec.md = self.md(t)
+        if rec.fw:
+            rec.seq, rec.qual = rec.orig_seq, rec.orig_qual
+        else:
+            rec.seq = dna.revcomp_ascii(rec.orig_seq)
+            rec.qual = rec.orig_qual[::-1]
+
+
+class LazyRecs:
+    """Per-read AlnRec sequence materialized on first access. The fused
+    fast path keeps its results as arrays (FastSoA); an AlnRec object is
+    built only for reads something actually touches (slow paths, the
+    paired driver, record-by-record SAM emission)."""
+
+    __slots__ = ("_batch", "_filtered", "_qc", "_cache", "soa", "B")
+
+    def __init__(self, batch, filtered, qc_fail):
+        self.B = len(batch.names)
+        self._batch = batch
+        self._filtered = filtered
+        self._qc = qc_fail
+        self._cache: dict[int, AlnRec] = {}
+        self.soa: FastSoA | None = None
+
+    def __len__(self):
+        return self.B
+
+    def __getitem__(self, i):
+        if not 0 <= i < self.B:
+            raise IndexError(i)
+        rec = self._cache.get(i)
+        if rec is None:
+            b = self._batch
+            rec = AlnRec(name=b.names[i], aligned=False)
+            rec.seq = rec.orig_seq = b.raw_seq[i]
+            rec.qual = rec.orig_qual = b.raw_qual[i]
+            if b.comments is not None:
+                rec.comment = b.comments[i]
+            if b.origs is not None:
+                rec.orig_rec = b.origs[i]
+            if self._filtered[i]:
+                rec.filtered = True
+                if self._qc is not None and self._qc[i]:
+                    rec.yf = "QC"
+            if self.soa is not None and self.soa.filled[i]:
+                self.soa.fill(rec, i)
+            self._cache[i] = rec
+        return rec
+
+    def n_aligned(self) -> int:
+        n = 0
+        if self.soa is not None:
+            n += int(self.soa.filled.sum())
+        for i, r in self._cache.items():
+            in_soa = self.soa is not None and self.soa.filled[i]
+            if r.aligned and not in_soa:
+                n += 1
+        return n
+
+
 def revcomp_batch(seqs, quals, lens):
     """Vectorized per-row reverse complement respecting lengths."""
     B, L = seqs.shape
@@ -303,21 +405,27 @@ class UnpairedAligner:
     def align_async(self, batch: ReadBatch):
         return (batch, self.collect_async(batch))
 
-    def align_wait(self, handle) -> list[AlnRec]:
+    def align_wait(self, handle):
         batch, chandle = handle
         st = self.collect_wait(chandle)
         B = st.B
-        handled = np.zeros(B, bool)
-        if getattr(st, "sel", None) is not None and self.pol.khits == 1:
-            handled = self._finish_fast(st)
+        if self.pol.khits == 1:
+            # khits == 1 never yields extra records: run the general path
+            # only for unhandled reads and return the lazy view — readers
+            # that only need counts/arrays never build AlnRec objects
+            if getattr(st, "sel", None) is not None:
+                handled = self._finish_fast(st)
+                todo = np.nonzero(~handled)[0]
+            else:
+                todo = range(B)
+            for i in todo:
+                self._select_unpaired(st, i)
+            return st.recs
         out = []
         for i in range(B):
-            if handled[i]:
-                out.append(st.recs[i])
-            else:
-                extras = self._select_unpaired(st, i)
-                out.append(st.recs[i])
-                out.extend(extras)
+            extras = self._select_unpaired(st, i)
+            out.append(st.recs[i])
+            out.extend(extras)
         return out
 
     # ---- collect: fused device path with host fallback ----
@@ -345,9 +453,10 @@ class UnpairedAligner:
         h = self.candgen.dispatch(
             batch.seqs, batch.quals, lens,
             active & (not self.nofw), active & (not self.norc),
-            minsc, self.sc.mm_penalties(), boost=boost, seed_skip=seed_skip)
+            minsc, self.sc.mm_penalties(), perfect=perfect,
+            boost=boost, seed_skip=seed_skip)
         meta = dict(lens=lens, filtered=filtered, minsc=minsc,
-                    perfect=perfect, nceil=nceil)
+                    perfect=perfect, nceil=nceil, seed_skip=seed_skip)
         return ("fused", batch, boost, seed_skip, h, meta)
 
     def collect_wait(self, handle):
@@ -367,19 +476,9 @@ class UnpairedAligner:
         B, L = batch.seqs.shape
         lens = meta["lens"]
         filtered = meta["filtered"]
-        recs = [AlnRec(name=batch.names[i], aligned=False) for i in range(B)]
-        for i in range(B):
-            recs[i].seq = recs[i].orig_seq = batch.raw_seq[i]
-            recs[i].qual = recs[i].orig_qual = batch.raw_qual[i]
-            if batch.comments is not None:
-                recs[i].comment = batch.comments[i]
-            if batch.origs is not None:
-                recs[i].orig_rec = batch.origs[i]
-            if filtered[i]:
-                recs[i].filtered = True
-                if self.qc_filter and batch.qc_fail is not None \
-                        and batch.qc_fail[i]:
-                    recs[i].yf = "QC"
+        qc = (batch.qc_fail if self.qc_filter and batch.qc_fail is not None
+              else None)
+        recs = LazyRecs(batch, filtered, qc)
 
         fw_seqs, fw_quals = batch.seqs, batch.quals
         rc_seqs, rc_quals = revcomp_batch(fw_seqs, fw_quals, lens)
@@ -417,6 +516,16 @@ class UnpairedAligner:
         rect_ids = np.nonzero(~res.c_interior)[0]
         if len(rect_ids):
             self._rect_dp(st, rect_ids)
+        # exact-only (seed_skip) reads keep only perfect-score candidates —
+        # the device applied this to its selection; mirror it for the host
+        # slow paths (ref: seed_skip semantics, bt2_search.cpp:3888-3909)
+        ss = meta.get("seed_skip")
+        if ss is not None:
+            ss = np.asarray(ss, bool)
+            if ss.any():
+                drop = ss[res.c_read] & (st.best != meta["perfect"][
+                    res.c_read])
+                st.best[drop] = NEG_INF
         return st
 
     def _rect_dp(self, st, rect_ids):
@@ -526,50 +635,51 @@ class UnpairedAligner:
         mapqs = mapq_v2_batch(score, sec_eff, has_sec | exact_rule,
                               st.minsc[w], st.perfect[w], self.sc.monotone)
 
-        BASES = "ACGTN"
-        for t in range(len(w)):
+        for t in np.nonzero(~ungapped)[0]:
+            # rare: gapped or local winner — per-read traceback path
             i = int(w[t])
-            if not ungapped[t]:
-                # rare: gapped or local winner — per-read traceback path
-                sec = (int(res.sec_sc[i]) if has_sec[t]
-                       else (int(st.perfect[i]) if exact_rule[t] else None))
-                if self.finish_candidate(st, i, int(res.best_ci[i]),
-                                         int(score[t]), sec):
-                    handled[i] = True
-                continue
-            rec = st.recs[i]
-            rln = int(rl[t])
-            rec.aligned = True
-            rec.fw = bool(fw_b[t])
-            rec.ref_id = int(ref_id[t])
-            rec.pos = int(ref_off[t])
-            rec.score = int(score[t])
-            rec.secbest = (int(res.sec_sc[i]) if has_sec[t]
-                           else (int(st.perfect[i]) if exact_rule[t]
-                                 else None))
-            rec.mapq = int(mapqs[t])
-            rec.cigar = f"{rln}M"
-            n_mm = int(nm[t])
-            rec.nm = rec.xm = n_mm
-            rec.xo = rec.xg = rec.xn = 0
-            if n_mm == 0:
-                rec.md = str(rln)
-            else:
-                parts = []
-                last = 0
-                base = row_split[t]
-                for p in cols_mm[base : row_split[t + 1]]:
-                    parts.append(str(p - last))
-                    parts.append(BASES[min(int(refm[t, p]), 4)])
-                    last = p + 1
-                parts.append(str(rln - last))
-                rec.md = "".join(parts)
-            if rec.fw:
-                rec.seq, rec.qual = rec.orig_seq, rec.orig_qual
-            else:
-                rec.seq = dna.revcomp_ascii(rec.orig_seq)
-                rec.qual = rec.orig_qual[::-1]
-            handled[i] = True
+            sec = (int(res.sec_sc[i]) if has_sec[t]
+                   else (int(st.perfect[i]) if exact_rule[t] else None))
+            if self.finish_candidate(st, i, int(res.best_ci[i]),
+                                     int(score[t]), sec):
+                handled[i] = True
+
+        # vectorized commit of the ungapped winners: store column arrays;
+        # AlnRec objects materialize lazily (LazyRecs/FastSoA)
+        u = np.nonzero(ungapped)[0]
+        if len(u):
+            wu = w[u]
+            soa = FastSoA()
+            soa.filled = np.zeros(B, bool)
+            soa.filled[wu] = True
+            soa.tidx = np.full(B, -1, np.int32)
+            soa.tidx[wu] = np.arange(len(u), dtype=np.int32)
+            soa.fw = fw_b[u]
+            soa.ref_id = ref_id[u]
+            soa.pos = ref_off[u]
+            soa.score = score[u]
+            soa.sec_has = (has_sec | exact_rule)[u]
+            soa.sec = np.where(has_sec, res.sec_sc[w],
+                               st.perfect[w]).astype(np.int64)[u]
+            soa.mapq = mapqs[u]
+            soa.nm = nm[u]
+            soa.rl = rl[u]
+            # mismatch detail, restricted to the ungapped subset (rows is
+            # sorted, so the u-subset stays sorted)
+            uidx_of_w = np.full(len(w), -1, np.int64)
+            uidx_of_w[u] = np.arange(len(u))
+            keep = ungapped[rows]
+            rows_u = uidx_of_w[rows[keep]]
+            soa.mm_cols = cols_mm[keep]
+            soa.mm_ref = refm[rows[keep], soa.mm_cols]
+            soa.mm_split = np.searchsorted(
+                rows_u, np.arange(len(u) + 1)).astype(np.int64)
+            handled[wu] = True
+            if isinstance(st.recs, LazyRecs):
+                st.recs.soa = soa
+            else:   # defensive: pre-materialized recs (host path)
+                for i in wu:
+                    soa.fill(st.recs[int(i)], int(i))
         return handled
 
     def _collect_host(self, batch: ReadBatch, boost=None, seed_skip=None):
