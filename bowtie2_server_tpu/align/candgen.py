@@ -91,6 +91,10 @@ class CandGenCfg(NamedTuple):
     n_lo: int = 6
     bbits: int = 20
     boost_thresh: int = 300  # ref: bt2_search.cpp:4086 seedBoostThresh
+    mmtab_t: tuple = ()      # static mm-penalty-by-quality table
+    sched: tuple | None = None  # static per-round seed offsets (uniform
+                                # batches); None = per-read device schedule
+    static_len: int = 0         # the uniform read length when sched is set
 
 
 class DeviceIndex(NamedTuple):
@@ -156,6 +160,20 @@ def _seg_max(data, ids, B):
     return jax.ops.segment_max(data, ids, num_segments=B)
 
 
+def _static_table(table: tuple, idx, dtype=jnp.int32):
+    """Table lookup with COMPILE-TIME-constant values: a run of wheres over
+    the table's change points instead of a gather. Per-element gathers cost
+    ~50 ns/index on this backend (a [B, L] quality-table gather alone was
+    ~50 ms/batch); elementwise selects are HBM-bandwidth-bound instead.
+    Most penalty tables are piecewise constant with <= 5 distinct values,
+    so this emits only a handful of selects."""
+    out = jnp.full(idx.shape, int(table[0]), dtype)
+    for q in range(1, len(table)):
+        if table[q] != table[q - 1]:
+            out = jnp.where(idx >= q, jnp.array(int(table[q]), dtype), out)
+    return out
+
+
 def _rolling_keys(codes4, n_pack: int, shift0: int, reverse: bool):
     """Rolling 2-bit packed keys over [B, L] code rows (VPU only, no
     gathers). Forward: key[j] packs codes[j+shift0 .. j+shift0+n_pack).
@@ -196,14 +214,14 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
              perfect score]
     mmtab:   [64] int32 — mismatch penalty per (clamped) quality
 
-    Returns out_pack [5, C_max] int32:
+    Returns out_pack [6, C_max] int32:
       row 0: (read << 4) | (fw << 2) | (interior << 1) | valid
       row 1: diag
       row 2: interior DP score (NEG_INF otherwise)
       row 3: (bi << 8) | bk
       row 4: [ (best_ci+1)<<2|has_rect<<1|seeds_failed : B
-             | sec_score : B | exact_mult : B | ...pad...
-             | counters : last 8 ]
+             | sec_score : B ]
+      row 5: [ exact_mult : B | ...pad... | counters : last 8 ]
     """
     B, L, E = cfg.B, cfg.L, cfg.E
     # joined TEXT length (the BWT has one more row than the text)
@@ -225,7 +243,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     is_n = la == 255
     fw_seqs = jnp.where(is_n, jnp.uint8(5), la >> 6).astype(jnp.uint8)
     qual6 = jnp.where(is_n, jnp.uint8(0), la & 63).astype(jnp.int32)
-    mm_fw = mmtab[qual6].astype(jnp.uint8)
+    mm_fw = _static_table(cfg.mmtab_t, qual6, jnp.uint8)
     ra_codes = jnp.where(ra == 255, jnp.uint8(5), ra >> 6).astype(jnp.int32)
     la_codes = fw_seqs.astype(jnp.int32)
     comp_la = jnp.where(la_codes <= 3, 3 - la_codes, la_codes)
@@ -233,24 +251,33 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
 
     # ---- device-side seed schedule (exact integer port of
     # UnpairedAligner.seed_offsets; ref: bt2_search.cpp:3848-3870,
-    # aligner_seed.cpp:523-529) ----
+    # aligner_seed.cpp:523-529). With a batch-uniform schedule
+    # (cfg.sched), the per-read arrays are skipped entirely and seed
+    # columns become static below. ----
     S, Ls = cfg.S, cfg.seed_len
-    s_i = jnp.arange(S, dtype=jnp.int32)[None, :]
-    seed_start_l, seed_valid_l = [], []
-    for r in range(cfg.R):
-        ok = (interval > r) & (r < nrounds)
-        off = (interval * r) // nrounds
-        ok &= ~((off > 0) & (Ls + off > lens))
-        nseeds = jnp.where(
-            ok, 1 + jnp.where(lens - off > Ls,
-                              (lens - off - Ls) // interval, 0), 0)
-        seed_start_l.append(off[:, None] + s_i * interval[:, None])
-        seed_valid_l.append(s_i < nseeds[:, None])
-    seed_start = jnp.stack(seed_start_l, axis=1)   # [B, R, S]
-    seed_valid = jnp.stack(seed_valid_l, axis=1)
+    if cfg.sched is None:
+        s_i = jnp.arange(S, dtype=jnp.int32)[None, :]
+        seed_start_l, seed_valid_l = [], []
+        for r in range(cfg.R):
+            ok = (interval > r) & (r < nrounds)
+            off = (interval * r) // nrounds
+            ok &= ~((off > 0) & (Ls + off > lens))
+            nseeds = jnp.where(
+                ok, 1 + jnp.where(lens - off > Ls,
+                                  (lens - off - Ls) // interval, 0), 0)
+            seed_start_l.append(off[:, None] + s_i * interval[:, None])
+            seed_valid_l.append(s_i < nseeds[:, None])
+        seed_start = jnp.stack(seed_start_l, axis=1)   # [B, R, S]
+        seed_valid = jnp.stack(seed_valid_l, axis=1)
 
-    rc_seqs = _rc_rows(fw_seqs, lens)
-    mm_rc = _rev_rows(mm_fw, lens, 0)
+    # the right-aligned upload makes reversal a flip: ra[j] = fw[j-(L-len)]
+    # so flip(ra)[j] = fw[len-1-j] — no per-element gathers (ref: the role
+    # of Read::patRc, read.h, materialized here by layout instead)
+    rc_seqs = jnp.flip(comp_ra, axis=1).astype(jnp.uint8)
+    mm_ra = jnp.where(ra == 255, jnp.uint8(0),
+                      _static_table(cfg.mmtab_t,
+                                    (ra & 63).astype(jnp.int32), jnp.uint8))
+    mm_rc = jnp.flip(mm_ra, axis=1)
     both = jnp.concatenate([fw_seqs, rc_seqs])          # [2B, L] lane order
     mm_both = jnp.concatenate([mm_fw, mm_rc])
     lens2 = jnp.concatenate([lens, lens])
@@ -388,31 +415,63 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
             # toward the reseeding stats below
             lk_active = (round_active | (ex_only & (act_fw | act_rc))
                          if r == 0 else round_active)
-            sv = seed_valid[:, r, :] & lk_active[:, None]        # [B, S]
-            d_fw = seed_start[:, r, :]                           # [B, S]
-            d_rc = lens[:, None] - d_fw - Ls
-            dc = jnp.clip(d_fw, 0, L - 1)
-            bsel = jnp.arange(B)[:, None]
-            q_hi_f = khi_fw[bsel, dc]
-            q_lo_f = klo_fw[bsel, dc]
-            # rc window indexed by its last fw position q = d_fw + Ls - 1;
-            # ra column of fw position k is L - len + k
-            qcol = jnp.clip(L - lens[:, None] + d_fw + Ls - 1, 0, L - 1)
-            q_hi_r = khi_rc[bsel, qcol]
-            q_lo_r = klo_rc[bsel, qcol]
-            win_n = (ncum[bsel, jnp.clip(d_fw + Ls, 0, ncum.shape[1] - 1)]
-                     - ncum[bsel, dc]) > 0
-            ok_f = sv & act_fw[:, None] & ~win_n & (d_fw >= 0)
-            ok_r = sv & act_rc[:, None] & ~win_n & (d_rc >= 0)
+            if cfg.sched is not None:
+                # batch-uniform schedule: seed columns are compile-time
+                # constants -> static slices instead of [B, S] gathers
+                offs = cfg.sched[r]
+                if not offs:
+                    if r == 0:
+                        seeds_failed_r0 = seed_r0_active
+                    round_active = jnp.zeros(B, bool)
+                    continue
+                S_r = len(offs)
+                len0 = cfg.static_len
+                q_hi_f = jnp.stack([khi_fw[:, o] for o in offs], 1)
+                q_lo_f = jnp.stack([klo_fw[:, o] for o in offs], 1)
+                # rc window indexed by its last fw position q = o + Ls - 1;
+                # ra column of fw position k is L - len + k
+                q_hi_r = jnp.stack(
+                    [khi_rc[:, L - len0 + o + Ls - 1] for o in offs], 1)
+                q_lo_r = jnp.stack(
+                    [klo_rc[:, L - len0 + o + Ls - 1] for o in offs], 1)
+                win_n = jnp.stack(
+                    [(ncum[:, o + Ls] - ncum[:, o]) > 0 for o in offs], 1)
+                d_fw = jnp.broadcast_to(
+                    jnp.array(offs, jnp.int32)[None], (B, S_r))
+                d_rc = jnp.broadcast_to(
+                    jnp.array([len0 - o - Ls for o in offs],
+                              jnp.int32)[None], (B, S_r))
+                sv = jnp.broadcast_to(lk_active[:, None], (B, S_r))
+                ok_f = sv & act_fw[:, None] & ~win_n
+                ok_r = sv & act_rc[:, None] & ~win_n
+            else:
+                S_r = S
+                sv = seed_valid[:, r, :] & lk_active[:, None]    # [B, S]
+                d_fw = seed_start[:, r, :]                       # [B, S]
+                d_rc = lens[:, None] - d_fw - Ls
+                dc = jnp.clip(d_fw, 0, L - 1)
+                bsel = jnp.arange(B)[:, None]
+                q_hi_f = khi_fw[bsel, dc]
+                q_lo_f = klo_fw[bsel, dc]
+                # rc window indexed by its last fw position q = d_fw+Ls-1;
+                # ra column of fw position k is L - len + k
+                qcol = jnp.clip(L - lens[:, None] + d_fw + Ls - 1, 0, L - 1)
+                q_hi_r = khi_rc[bsel, qcol]
+                q_lo_r = klo_rc[bsel, qcol]
+                win_n = (ncum[bsel,
+                              jnp.clip(d_fw + Ls, 0, ncum.shape[1] - 1)]
+                         - ncum[bsel, dc]) > 0
+                ok_f = sv & act_fw[:, None] & ~win_n & (d_fw >= 0)
+                ok_r = sv & act_rc[:, None] & ~win_n & (d_rc >= 0)
             q_hi = jnp.concatenate([q_hi_f, q_hi_r]).reshape(-1)
             q_lo = jnp.concatenate([q_lo_f, q_lo_r]).reshape(-1)
             val_all = jnp.concatenate([ok_f, ok_r]).reshape(-1)
             dep_all = jnp.concatenate([d_fw, d_rc]).reshape(-1)
             lane_all = jnp.concatenate([
                 jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
-                                 (B, S)),
+                                 (B, S_r)),
                 jnp.broadcast_to((jnp.arange(B, dtype=jnp.int32)
-                                  + B)[:, None], (B, S))]).reshape(-1)
+                                  + B)[:, None], (B, S_r))]).reshape(-1)
             start, cnt = kmod.lookup_body(dkm, q_hi, q_lo, n_hi,
                                           cfg.bbits, cfg.kmer_steps)
             cnt = jnp.where(val_all, cnt, 0)
@@ -517,45 +576,53 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
         acc = jnp.int32(0)
         for v in vals:
             acc = acc + v.astype(jnp.int32).sum()
-        return jnp.broadcast_to(acc, (5, cfg.C_max))
+        return jnp.broadcast_to(acc, (6, cfg.C_max))
 
     if cfg.engine == "cut_seeds":
         return _cut(r_lane, r_depth, r_top, r_cnt, r_src)
 
+    # Gather-traffic economics: one row gather of <= 32 contiguous bytes
+    # costs the same as one scalar gather on this backend, so the hit
+    # ranges are packed as [*, 4] int32 matrix ROWS and both compaction
+    # levels gather whole rows (1 gather each instead of 4-5).
     hitr = r_cnt > 0
     n_hit = jnp.sum(hitr.astype(jnp.int32))
     hsel = jnp.nonzero(hitr, size=NH, fill_value=NR)[0]
     hidx = jnp.clip(hsel, 0, NR - 1)
-    h_cnt = jnp.where(hsel >= NR, 0, r_cnt[hidx])
-    h_lane = r_lane[hidx]
-    h_depth = r_depth[hidx]
-    h_top = r_top[hidx]
-    h_src = r_src[hidx]
+    r_mat = jnp.stack(
+        [r_lane, r_depth, r_top,
+         r_cnt | (r_src << 16) if cfg.has_short else r_cnt], axis=1)
+    h_mat = r_mat[hidx]                                    # [NH, 4]
+    h_cnt = jnp.where(hsel >= NR, 0, h_mat[:, 3] & 0xFFFF)
 
     ev = (jnp.arange(E, dtype=jnp.int32)[None, :] < h_cnt[:, None]).reshape(-1)
     n_elts = jnp.sum(ev.astype(jnp.int32))
     sel = jnp.nonzero(ev, size=cfg.C_pre, fill_value=NH * E)[0]
     pad = sel >= NH * E
     ridx = jnp.clip(sel // E, 0, NH - 1)
-    row = h_top[ridx] + (sel % E).astype(jnp.int32)
-    lane = h_lane[ridx]
-    src = h_src[ridx]
-    read = lane % B
-    rl = lens[read]
+    e_mat = h_mat[ridx]                                    # [C_pre, 4]
+    lane = e_mat[:, 0]
+    e_depth = e_mat[:, 1]
+    row = e_mat[:, 2] + (sel % E).astype(jnp.int32)
     n_keys = dkm.pos.shape[0]
-    off_fw = didx.fw.sa[
-        jnp.clip(row, 0, didx.fw.sa.shape[0] - 1)].astype(jnp.int32)
-    off_pos = dkm.pos[jnp.clip(row, 0, n_keys - 1)].astype(jnp.int32)
     if cfg.has_short:
+        src = e_mat[:, 3] >> 16
+        read = lane % B
+        rl = lens[read]
+        off_fw = didx.fw.sa[
+            jnp.clip(row, 0, didx.fw.sa.shape[0] - 1)].astype(jnp.int32)
+        off_pos = dkm.pos[jnp.clip(row, 0, n_keys - 1)].astype(jnp.int32)
         off_mr = didx.mirror.sa[
             jnp.clip(row, 0, didx.mirror.sa.shape[0] - 1)].astype(jnp.int32)
         off = jnp.where(src == 1, off_mr, jnp.where(src == 2, off_pos,
                                                     off_fw))
-        diag = jnp.where(src == 1, n_text - off - rl, off - h_depth[ridx])
+        diag = jnp.where(src == 1, n_text - off - rl, off - e_depth)
+        e_ok = ~pad & (diag > -rl)
     else:
-        off = jnp.where(src == 2, off_pos, off_fw)
-        diag = off - h_depth[ridx]
-    e_ok = ~pad & (diag > -rl)
+        # fast shape: every range is a seed-table range (src == 2)
+        off = dkm.pos[jnp.clip(row, 0, n_keys - 1)].astype(jnp.int32)
+        diag = off - e_depth
+        e_ok = ~pad & (diag > -L)
     if cfg.engine == "cut_resolve":
         return _cut(off, diag, lane, e_ok)
 
@@ -679,15 +746,19 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     best_pack = (((best_ci + 1) << 2)
                  | (jnp.minimum(has_rect, 1) << 1)
                  | seeds_failed_r0.astype(jnp.int32))
-    perread = jnp.concatenate([
-        best_pack, jnp.maximum(sec_sc, NEG), exact_mult])       # [3B]
     counters = jnp.stack([n_cand, n_elts, cnt_fw, cnt_mr,
                           n_hit, jnp.int32(0),
                           jnp.int32(0), jnp.int32(0)])
+    # row 4: [best_pack : B | sec_score : B]; row 5: [exact_mult : B |
+    # pad | counters : last 8] — fits any C_max >= 2B
     row4 = jnp.zeros(Cx, jnp.int32)
-    row4 = jax.lax.dynamic_update_slice(row4, perread, (0,))
-    row4 = jax.lax.dynamic_update_slice(row4, counters, (Cx - 8,))
-    out = jnp.stack([row0, c_diag, c_score, row3, row4])
+    row4 = jax.lax.dynamic_update_slice(row4, best_pack, (0,))
+    row4 = jax.lax.dynamic_update_slice(
+        row4, jnp.maximum(sec_sc, NEG), (B,))
+    row5 = jnp.zeros(Cx, jnp.int32)
+    row5 = jax.lax.dynamic_update_slice(row5, exact_mult, (0,))
+    row5 = jax.lax.dynamic_update_slice(row5, counters, (Cx - 8,))
+    out = jnp.stack([row0, c_diag, c_score, row3, row4, row5])
     return out
 
 
@@ -738,7 +809,8 @@ def per_len(fn, lens):
 
 class BatchResult:
     """Decoded outputs of one fused_pipeline run (host numpy)."""
-    __slots__ = ("B0", "c_read", "c_fw", "c_diag", "c_score", "c_end",
+    __slots__ = ("counters", "B0", "c_read", "c_fw", "c_diag", "c_score",
+                 "c_end",
                  "c_bi", "c_bk", "c_interior", "c_ws", "best_ci", "best_sc",
                  "sec_sc", "exact_mult", "seeds_failed_r0", "has_rect",
                  "overflow")
@@ -751,14 +823,16 @@ class BatchResult:
         bp_l, sec_l, mult_l, ctr = [], [], [], []
         for s in range(ndev):
             r4 = out[4, s * Cl : (s + 1) * Cl]
+            r5 = out[5, s * Cl : (s + 1) * Cl]
             bp_l.append(r4[:Bl])
             sec_l.append(r4[Bl : 2 * Bl])
-            mult_l.append(r4[2 * Bl : 3 * Bl])
-            ctr.append(r4[Cl - 8 :])
+            mult_l.append(r5[:Bl])
+            ctr.append(r5[Cl - 8 :])
         bp = np.concatenate(bp_l)[:B0]
         sec = np.concatenate(sec_l)[:B0]
         mult = np.concatenate(mult_l)[:B0]
         ctr = np.stack(ctr)
+        self.counters = ctr
         self.overflow = bool((ctr[:, 0] > cfg.C_max).any()
                              or (ctr[:, 1] > cfg.C_pre).any()
                              or (ctr[:, 2] > cfg.k1).any()
@@ -839,7 +913,8 @@ class CandGen:
         return hit
 
     def dispatch(self, seqs, quals, lens, act_fw, act_rc, minsc, mmtab,
-                 perfect=None, boost=None, seed_skip=None):
+                 perfect=None, boost=None, seed_skip=None,
+                 size_mult: int = 1):
         """seqs/quals: [B0, L0] uint8/int; lens [B0]. Returns an opaque
         handle (device arrays still in flight) for fetch()."""
         B0, L0 = seqs.shape
@@ -884,11 +959,16 @@ class CandGen:
         enc = ((np.asarray(seqs) & 3) << 6) | q6
         enc = np.where(np.asarray(seqs) > 3, 255, enc).astype(np.uint8)
         packed[0, :B0, :L0] = enc
-        j = np.arange(L0)
-        dest = (Lp - lens_i[:, None]) + j[None, :]
-        valid_e = j[None, :] < lens_i[:, None]
-        rows_e = np.broadcast_to(np.arange(B0)[:, None], (B0, L0))
-        packed[1, rows_e[valid_e], dest[valid_e]] = enc[valid_e]
+        lens_u = np.unique(lens_i[:B0]) if B0 else lens_i[:0]
+        if len(lens_u) == 1 and lens_u[0] == L0:
+            # uniform lengths: right-aligning is one contiguous copy
+            packed[1, :B0, Lp - L0:] = enc
+        else:
+            j = np.arange(L0)
+            dest = (Lp - lens_i[:, None]) + j[None, :]
+            valid_e = j[None, :] < lens_i[:, None]
+            rows_e = np.broadcast_to(np.arange(B0)[:, None], (B0, L0))
+            packed[1, rows_e[valid_e], dest[valid_e]] = enc[valid_e]
 
         meta = np.zeros((Bp, 5), np.int32)
         m0 = lens_i.copy()
@@ -905,6 +985,33 @@ class CandGen:
         if perfect is not None:
             meta[:B0, 4] = np.asarray(perfect, np.int32)
 
+        # batch-uniform seed schedule -> compile-time seed columns (one
+        # compiled shape per read-length bucket; saves the [B, S] key
+        # gathers and the per-read schedule arithmetic)
+        sched = None
+        static_len = 0
+        if not has_short and B0 > 0:
+            u_l = np.unique(lens_i[:B0])
+            u_iv = np.unique(interval[:B0])
+            u_nr = np.unique(nrounds[:B0])
+            if len(u_l) == 1 and len(u_iv) == 1 and len(u_nr) == 1:
+                l0, iv, nr = int(u_l[0]), int(u_iv[0]), int(u_nr[0])
+                Lsd = pol.seed_len
+                rounds = []
+                for r in range(pol.n_seed_rounds):
+                    ok = (iv > r) and (r < nr)
+                    off = (iv * r) // nr
+                    if ok and off > 0 and Lsd + off > l0:
+                        ok = False
+                    if not ok:
+                        rounds.append(())
+                        continue
+                    nseeds = 1 + ((l0 - off - Lsd) // iv
+                                  if l0 - off > Lsd else 0)
+                    rounds.append(tuple(off + i * iv for i in range(nseeds)))
+                sched = tuple(rounds)
+                static_len = l0
+
         GRID = 4 << 20
         Bl = B_local
         cw = min(_pow2(max(Lp // 2, 8), lo=8), max(8, GRID // (2 * Bl * 4)))
@@ -912,12 +1019,16 @@ class CandGen:
         cfg = CandGenCfg(
             B=Bl, L=Lp, S=S, R=pol.n_seed_rounds, E=pol.max_sa_elts,
             seed_len=pol.seed_len, K=self.K,
-            k1=_pow2(4 * Bl, lo=4096), chunk_w=cw, n_chunks=n_chunks,
-            NH=_pow2(8 * Bl, lo=8192),
-            C_pre=_pow2(16 * Bl, lo=8192), C_max=_pow2(4 * Bl, lo=4096),
+            k1=_pow2(4 * Bl * size_mult, lo=4096), chunk_w=cw,
+            n_chunks=n_chunks,
+            NH=_pow2(8 * Bl * size_mult, lo=8192),
+            C_pre=_pow2(8 * Bl * size_mult, lo=8192),
+            C_max=_pow2(2 * Bl * size_mult, lo=4096),
             sw=self.sw_cfg, engine=self.engine,
             has_short=has_short, kmer_steps=ktab.search_steps,
-            n_hi=ktab.n_hi, n_lo=ktab.n_lo, bbits=ktab.bbits)
+            n_hi=ktab.n_hi, n_lo=ktab.n_lo, bbits=ktab.bbits,
+            mmtab_t=tuple(int(x) for x in np.asarray(mmtab[:64])),
+            sched=sched, static_len=static_len)
         args = (jnp.asarray(packed), jnp.asarray(meta), self._mmtab(mmtab))
         if self.mesh is not None:
             out = _sharded_pipeline(cfg, self.mesh)(self.didx, dkm, *args)

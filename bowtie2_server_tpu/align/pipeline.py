@@ -466,7 +466,21 @@ class UnpairedAligner:
         _, batch, boost, seed_skip, h, meta = handle
         res = self.candgen.fetch(h)
         if res.overflow:
-            return self._collect_host(batch, boost, seed_skip)
+            # capacity escalation: re-run the same batch with 4x set sizes
+            # before giving up to the (much slower) host path (ref: the
+            # reference's graceful huge-range handling via RowSampler,
+            # aligner_sw_driver.h:179)
+            filtered = meta["filtered"]
+            active = ~filtered
+            h2 = self.candgen.dispatch(
+                batch.seqs, batch.quals, meta["lens"],
+                active & (not self.nofw), active & (not self.norc),
+                meta["minsc"], self.sc.mm_penalties(),
+                perfect=meta["perfect"], boost=boost, seed_skip=seed_skip,
+                size_mult=4)
+            res = self.candgen.fetch(h2)
+            if res.overflow:
+                return self._collect_host(batch, boost, seed_skip)
         return self._build_state(batch, res, meta)
 
     def _build_state(self, batch: ReadBatch, res, meta):

@@ -76,8 +76,11 @@ def build_kmer_table(joined: np.ndarray, seed_len: int,
     hi, lo, n_hi, n_lo = pack_keys(joined, seed_len)
     hi, lo = hi[:n_k], lo[:n_k]
     if bbits is None:
-        # ~1 expected entry per bucket, capped to keep the table <= 64 MB
-        bbits = min(2 * n_hi, max(10, int(np.ceil(np.log2(max(n_k, 2))))), 24)
+        # ~4x buckets over keys: shaves the max-bucket size (and so the
+        # fixed binary-search trip count, 2 gathers/trip); bucket array
+        # capped at 2^24 (64 MB)
+        bbits = min(2 * n_hi,
+                    max(10, int(np.ceil(np.log2(max(n_k, 2)))) + 2), 24)
     if n_k == 0:
         # sentinel row so device gathers stay well-formed; never matched
         # (callers force the general shape when the table is degenerate)

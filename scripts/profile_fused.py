@@ -69,3 +69,6 @@ for BATCH in sizes:
     print(f"B={BATCH}: device={t_dev*1e3:.1f}ms (dp={1e3*(t_dev-t_nodp):.1f} "
           f"nodp={t_nodp*1e3:.1f}) host={t_host*1e3:.1f}ms "
           f"-> {BATCH/max(t_dev, t_host):.0f} reads/s overlapped")
+    res = al.candgen.fetch(h[4])
+    print(f"  counters [n_cand n_elts cnt_fw cnt_mr n_hit . . .]: "
+          f"{res.counters.tolist()}")
