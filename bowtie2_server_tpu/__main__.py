@@ -233,7 +233,28 @@ def cmd_align(args):
             while inflight:
                 yield al.align_wait(inflight.popleft())
 
+        use_native = not (args.passthrough or args.xeq
+                          or args.sam_append_comment or args.show_rand_seed
+                          or un_f or al_f)
+        out_b = getattr(out, "buffer", None)
         for recs in batch_results():
+            blob = None
+            if use_native and getattr(recs, "soa", None) is not None:
+                from .io.sam import sam_format_batch_native
+                blob = sam_format_batch_native(
+                    recs, idx.ref_names, args.rg_id, no_unal=args.no_unal)
+            if blob is not None:
+                if out_b is not None:
+                    out.flush()
+                    out_b.write(blob)
+                else:
+                    out.write(blob.decode())
+                na = summ.add_unpaired_soa(recs)
+                n += len(recs)
+                n_aligned += na
+                if ticker:
+                    ticker.tick(len(recs), na)
+                continue
             for r in recs:
                 if not (args.no_unal and not r.aligned):
                     write_rec(r)

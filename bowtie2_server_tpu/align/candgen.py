@@ -95,6 +95,8 @@ class CandGenCfg(NamedTuple):
     sched: tuple | None = None  # static per-round seed offsets (uniform
                                 # batches); None = per-read device schedule
     static_len: int = 0         # the uniform read length when sched is set
+    raw_len: int = 0            # >0: packed2 is raw [2, B, raw_len]
+                                # (seqs, quals); encode/align on device
 
 
 class DeviceIndex(NamedTuple):
@@ -222,6 +224,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
       row 4: [ (best_ci+1)<<2|has_rect<<1|seeds_failed : B
              | sec_score : B ]
       row 5: [ exact_mult : B | ...pad... | counters : last 8 ]
+      row 6: ungapped<<16 | nm (center-diagonal stats per candidate)
     """
     B, L, E = cfg.B, cfg.L, cfg.E
     # joined TEXT length (the BWT has one more row than the text)
@@ -239,7 +242,18 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     nrounds = jnp.maximum(meta[:, 3], 1)
     perfect = meta[:, 4]
 
-    la, ra = packed2[0], packed2[1]
+    if cfg.raw_len:
+        # uniform-length batches upload raw codes+quals; the encode and
+        # the right-aligned copy are pure layout work here (device)
+        raw_s, raw_q = packed2[0], packed2[1]      # [B, raw_len] u8
+        enc = jnp.where(raw_s > 3, jnp.uint8(255),
+                        ((raw_s & 3) << 6) | jnp.minimum(raw_q, 63))
+        la = jnp.pad(enc, ((0, 0), (0, L - cfg.raw_len)),
+                     constant_values=255)
+        ra = jnp.pad(enc, ((0, 0), (L - cfg.raw_len, 0)),
+                     constant_values=255)
+    else:
+        la, ra = packed2[0], packed2[1]
     is_n = la == 255
     fw_seqs = jnp.where(is_n, jnp.uint8(5), la >> 6).astype(jnp.uint8)
     qual6 = jnp.where(is_n, jnp.uint8(0), la & 63).astype(jnp.int32)
@@ -576,7 +590,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
         acc = jnp.int32(0)
         for v in vals:
             acc = acc + v.astype(jnp.int32).sum()
-        return jnp.broadcast_to(acc, (6, cfg.C_max))
+        return jnp.broadcast_to(acc, (7, cfg.C_max))
 
     if cfg.engine == "cut_seeds":
         return _cut(r_lane, r_depth, r_top, r_cnt, r_src)
@@ -700,6 +714,29 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     c_end = ws + bi + bk
     c_score = jnp.where(interior, best, jnp.int32(NEG_INF))
 
+    # center-diagonal ungapped stats (ref: SwAligner::ungappedAlign's
+    # role, aligner_sw.cpp): computed here so the host can commit
+    # ungapped winners without gathering the reference itself. A winner
+    # is certified ungapped iff its DP end sits on the last read row, its
+    # start column is the candidate's own diagonal (band center K//2 — a
+    # STATIC slice; candidates ARE diagonals, so a genuinely ungapped
+    # winner starts there), and the pure diagonal reproduces the DP
+    # score. Anything else takes the host traceback path.
+    j_l = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_rl = j_l < c_rl[:, None]
+    ref_d = band[:, K // 2 : K // 2 + L]
+    isn_c = rd_c > 3
+    mism = (rd_c != ref_d) & ~isn_c & in_rl
+    swc = cfg.sw
+    step_sc = jnp.where(isn_c, jnp.int32(-swc.npen),
+                        jnp.where(mism, -mm_c.astype(jnp.int32),
+                                  jnp.int32(swc.ma)))
+    usc = jnp.sum(jnp.where(in_rl, step_sc, 0), axis=1)
+    nm_c = jnp.sum((mism | (isn_c & in_rl)).astype(jnp.int32), axis=1)
+    ungapped_c = (bi == c_rl - 1) & (bk == K // 2) & (usc == best)
+    row6 = jnp.minimum(nm_c, (1 << 16) - 1) | (
+        ungapped_c.astype(jnp.int32) << 16)
+
     # ---- stage 7: per-read selection (best + secbest-distinct-end) ----
     sel_ok = interior & (c_score >= minsc[c_read])
     if not cfg.has_short:
@@ -758,7 +795,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     row5 = jnp.zeros(Cx, jnp.int32)
     row5 = jax.lax.dynamic_update_slice(row5, exact_mult, (0,))
     row5 = jax.lax.dynamic_update_slice(row5, counters, (Cx - 8,))
-    out = jnp.stack([row0, c_diag, c_score, row3, row4, row5])
+    out = jnp.stack([row0, c_diag, c_score, row3, row4, row5, row6])
     return out
 
 
@@ -810,7 +847,7 @@ def per_len(fn, lens):
 class BatchResult:
     """Decoded outputs of one fused_pipeline run (host numpy)."""
     __slots__ = ("counters", "B0", "c_read", "c_fw", "c_diag", "c_score",
-                 "c_end",
+                 "c_end", "c_nm", "c_ungapped",
                  "c_bi", "c_bk", "c_interior", "c_ws", "best_ci", "best_sc",
                  "sec_sc", "exact_mult", "seeds_failed_r0", "has_rect",
                  "overflow")
@@ -848,6 +885,8 @@ class BatchResult:
         self.c_score = out[2][keep]
         self.c_bi = (out[3] >> 8)[keep]
         self.c_bk = (out[3] & 255)[keep]
+        self.c_nm = (out[6] & 0xFFFF)[keep]
+        self.c_ungapped = ((out[6] >> 16) & 1).astype(bool)[keep]
         self.c_ws = self.c_diag - K // 2
         self.c_end = self.c_ws + self.c_bi + self.c_bk
         # remap best_ci (packed-array index) to compacted space
@@ -954,16 +993,22 @@ class CandGen:
         if len(self._joined_host) < pol.seed_len:
             has_short = True
 
-        packed = np.full((2, Bp, Lp), 255, np.uint8)
-        q6 = np.minimum(np.asarray(quals), 63).astype(np.uint8)
-        enc = ((np.asarray(seqs) & 3) << 6) | q6
-        enc = np.where(np.asarray(seqs) > 3, 255, enc).astype(np.uint8)
-        packed[0, :B0, :L0] = enc
         lens_u = np.unique(lens_i[:B0]) if B0 else lens_i[:0]
-        if len(lens_u) == 1 and lens_u[0] == L0:
-            # uniform lengths: right-aligning is one contiguous copy
-            packed[1, :B0, Lp - L0:] = enc
+        uniform_len = len(lens_u) == 1 and int(lens_u[0]) == L0
+        raw_len = 0
+        if uniform_len:
+            # raw upload: encode + right-align move to the device
+            raw_len = L0
+            packed = np.zeros((2, Bp, L0), np.uint8)
+            packed[0, :B0] = np.asarray(seqs, np.uint8)
+            packed[1, :B0] = np.minimum(np.asarray(quals), 255
+                                        ).astype(np.uint8)
         else:
+            packed = np.full((2, Bp, Lp), 255, np.uint8)
+            q6 = np.minimum(np.asarray(quals), 63).astype(np.uint8)
+            enc = ((np.asarray(seqs) & 3) << 6) | q6
+            enc = np.where(np.asarray(seqs) > 3, 255, enc).astype(np.uint8)
+            packed[0, :B0, :L0] = enc
             j = np.arange(L0)
             dest = (Lp - lens_i[:, None]) + j[None, :]
             valid_e = j[None, :] < lens_i[:, None]
@@ -1028,7 +1073,7 @@ class CandGen:
             has_short=has_short, kmer_steps=ktab.search_steps,
             n_hi=ktab.n_hi, n_lo=ktab.n_lo, bbits=ktab.bbits,
             mmtab_t=tuple(int(x) for x in np.asarray(mmtab[:64])),
-            sched=sched, static_len=static_len)
+            sched=sched, static_len=static_len, raw_len=raw_len)
         args = (jnp.asarray(packed), jnp.asarray(meta), self._mmtab(mmtab))
         if self.mesh is not None:
             out = _sharded_pipeline(cfg, self.mesh)(self.didx, dkm, *args)

@@ -214,12 +214,24 @@ class FastSoA:
 
     __slots__ = ("filled", "tidx", "fw", "ref_id", "pos", "score",
                  "sec_has", "sec", "mapq", "nm", "rl",
-                 "mm_split", "mm_cols", "mm_ref")
+                 "mm_split", "mm_cols", "mm_ref", "_mm_builder")
 
     _BASES = "ACGTN"
 
+    def __init__(self):
+        self._mm_builder = None
+        self.mm_split = None
+
+    def _ensure_mm(self):
+        """Mismatch detail is derived lazily (one vectorized pass) the
+        first time an MD string is requested — count-only consumers
+        (bench, summaries) never pay for it."""
+        if self.mm_split is None:
+            self.mm_split, self.mm_cols, self.mm_ref = self._mm_builder()
+
     def md(self, t: int) -> str:
         """MD:Z string of compact row t."""
+        self._ensure_mm()
         rl = int(self.rl[t])
         lo, hi = int(self.mm_split[t]), int(self.mm_split[t + 1])
         if lo == hi:
@@ -261,15 +273,19 @@ class LazyRecs:
     built only for reads something actually touches (slow paths, the
     paired driver, record-by-record SAM emission)."""
 
-    __slots__ = ("_batch", "_filtered", "_qc", "_cache", "soa", "B")
+    __slots__ = ("batch", "filtered", "qc", "_cache", "soa", "B")
 
     def __init__(self, batch, filtered, qc_fail):
         self.B = len(batch.names)
-        self._batch = batch
-        self._filtered = filtered
-        self._qc = qc_fail
+        self.batch = batch
+        self.filtered = filtered
+        self.qc = qc_fail
         self._cache: dict[int, AlnRec] = {}
         self.soa: FastSoA | None = None
+
+    def cache_items(self):
+        """(i, rec) pairs materialized so far (slow-path records)."""
+        return self._cache.items()
 
     def __len__(self):
         return self.B
@@ -279,7 +295,7 @@ class LazyRecs:
             raise IndexError(i)
         rec = self._cache.get(i)
         if rec is None:
-            b = self._batch
+            b = self.batch
             rec = AlnRec(name=b.names[i], aligned=False)
             rec.seq = rec.orig_seq = b.raw_seq[i]
             rec.qual = rec.orig_qual = b.raw_qual[i]
@@ -287,9 +303,9 @@ class LazyRecs:
                 rec.comment = b.comments[i]
             if b.origs is not None:
                 rec.orig_rec = b.origs[i]
-            if self._filtered[i]:
+            if self.filtered[i]:
                 rec.filtered = True
-                if self._qc is not None and self._qc[i]:
+                if self.qc is not None and self.qc[i]:
                     rec.yf = "QC"
             if self.soa is not None and self.soa.filled[i]:
                 self.soa.fill(rec, i)
@@ -495,10 +511,18 @@ class UnpairedAligner:
         recs = LazyRecs(batch, filtered, qc)
 
         fw_seqs, fw_quals = batch.seqs, batch.quals
-        rc_seqs, rc_quals = revcomp_batch(fw_seqs, fw_quals, lens)
-        mmtab = self.sc.mm_penalties()
-        mm_fw = mmtab[np.clip(fw_quals, 0, 255)].astype(np.int32)
-        mm_rc = mmtab[np.clip(rc_quals, 0, 255)].astype(np.int32)
+        # rc/penalty matrices are slow-path-only: built on first use
+        mats: dict = {}
+
+        def _mats():
+            if not mats:
+                rc_s, rc_q = revcomp_batch(fw_seqs, fw_quals, lens)
+                mmtab = self.sc.mm_penalties()
+                mats["rc_seqs"] = rc_s
+                mats["mm_fw"] = mmtab[np.clip(fw_quals, 0, 255)
+                                      ].astype(np.int32)
+                mats["mm_rc"] = mmtab[np.clip(rc_q, 0, 255)].astype(np.int32)
+            return mats
 
         C = len(res.c_read)
         cands = ArrayCands(res.c_read, res.c_fw, res.c_diag)
@@ -512,9 +536,10 @@ class UnpairedAligner:
         def read_arrays(ci):
             i, is_fw, _ = cands[ci]
             rl = int(lens[i])
+            m = _mats()
             if is_fw:
-                return fw_seqs[i, :rl], mm_fw[i, :rl], rl
-            return rc_seqs[i, :rl], mm_rc[i, :rl], rl
+                return fw_seqs[i, :rl], m["mm_fw"][i, :rl], rl
+            return m["rc_seqs"][i, :rl], m["mm_rc"][i, :rl], rl
 
         fin_info = LazyFin(res, lens, self.idx.joined, BAND)
         st = SimpleNamespace(
@@ -523,8 +548,7 @@ class UnpairedAligner:
             lens=lens, minsc=meta["minsc"], perfect=meta["perfect"],
             nceil=meta["nceil"], exact_mult=res.exact_mult.astype(np.int64),
             filtered=filtered, seeds_failed_r0=res.seeds_failed_r0,
-            res=res, sel=res,
-            fw_seqs=fw_seqs, rc_seqs=rc_seqs, mm_fw=mm_fw, mm_rc=mm_rc)
+            res=res, sel=res, fw_seqs=fw_seqs)
         # run host rectangle DP for candidates whose band window crosses an
         # unambiguous-run boundary (ref: dp_framer.cpp:81 trimming)
         rect_ids = np.nonzero(~res.c_interior)[0]
@@ -625,25 +649,11 @@ class UnpairedAligner:
         exact_rule = (~has_sec) & (
             (st.exact_mult[w] > self.pol.max_sa_elts) | (st.exact_mult[w] > 1))
 
-        # vectorized ungapped fast path (e2e only; ref: swa.ungappedAlign)
-        Lm = st.fw_seqs.shape[1]
-        rd = np.where(fw_b[:, None], st.fw_seqs[w], st.rc_seqs[w])
-        mm = np.where(fw_b[:, None], st.mm_fw[w], st.mm_rc[w])
+        # ungapped certification + NM computed ON DEVICE against the
+        # gathered band (candgen stage 6) — no reference access here
+        ungapped = (not cfg.local) & res.c_ungapped[k]
         jp = ws + bk                       # joined pos of alignment start
-        cols = jp[:, None] + np.arange(Lm)
-        refm = self.idx.joined[np.clip(cols, 0, self.idx.n - 1)]
-        jmask = np.arange(Lm)[None, :] < rl[:, None]
-        isn = rd > 3                       # joined never contains N
-        mismatch = (rd != refm) & jmask
-        s = np.where(isn, -cfg.npen, np.where(~mismatch, cfg.ma, -mm))
-        usc = np.where(jmask, s, 0).sum(1)
-        ungapped = (not cfg.local) & (bi == rl - 1) & (usc == score)
-
         ref_id, ref_off, _ = self.idx.joined_to_ref(jp)
-        mmn = (mismatch | (isn & jmask))
-        nm = mmn.sum(1)
-        rows, cols_mm = np.nonzero(mmn)
-        row_split = np.searchsorted(rows, np.arange(len(w) + 1))
         sec_eff = np.where(has_sec, res.sec_sc[w],
                            st.perfect[w]).astype(np.int64)
         mapqs = mapq_v2_batch(score, sec_eff, has_sec | exact_rule,
@@ -659,7 +669,8 @@ class UnpairedAligner:
                 handled[i] = True
 
         # vectorized commit of the ungapped winners: store column arrays;
-        # AlnRec objects materialize lazily (LazyRecs/FastSoA)
+        # AlnRec objects materialize lazily (LazyRecs/FastSoA), and the
+        # mismatch detail (MD) is only derived when something asks for it
         u = np.nonzero(ungapped)[0]
         if len(u):
             wu = w[u]
@@ -676,18 +687,39 @@ class UnpairedAligner:
             soa.sec = np.where(has_sec, res.sec_sc[w],
                                st.perfect[w]).astype(np.int64)[u]
             soa.mapq = mapqs[u]
-            soa.nm = nm[u]
+            soa.nm = res.c_nm[k][u]
             soa.rl = rl[u]
-            # mismatch detail, restricted to the ungapped subset (rows is
-            # sorted, so the u-subset stays sorted)
-            uidx_of_w = np.full(len(w), -1, np.int64)
-            uidx_of_w[u] = np.arange(len(u))
-            keep = ungapped[rows]
-            rows_u = uidx_of_w[rows[keep]]
-            soa.mm_cols = cols_mm[keep]
-            soa.mm_ref = refm[rows[keep], soa.mm_cols]
-            soa.mm_split = np.searchsorted(
-                rows_u, np.arange(len(u) + 1)).astype(np.int64)
+            jp_u = jp[u]
+            fw_u = soa.fw
+            rl_u = soa.rl
+            joined = self.idx.joined
+            fw_seqs = st.fw_seqs
+            wu_c = wu
+
+            def build_mm():
+                # derive per-read mismatch (column, ref base) lists for MD
+                # in one vectorized pass over the committed subset
+                Lm = int(rl_u.max(initial=1))
+                cols = jp_u[:, None] + np.arange(Lm)
+                refm = joined[np.clip(cols, 0, len(joined) - 1)]
+                rd = fw_seqs[wu_c, :Lm].copy()
+                rcm = ~fw_u
+                if rcm.any():
+                    rr = rd[rcm]
+                    ll = rl_u[rcm]
+                    src = ll[:, None] - 1 - np.arange(Lm)[None, :]
+                    ok = src >= 0
+                    g = np.take_along_axis(rr, np.clip(src, 0, Lm - 1),
+                                           axis=1)
+                    rd[rcm] = np.where(ok, np.where(g <= 3, 3 - g, g), 5)
+                jmask = np.arange(Lm)[None, :] < rl_u[:, None]
+                mmn = ((rd != refm) | (rd > 3)) & jmask
+                rows, cols_mm = np.nonzero(mmn)
+                split = np.searchsorted(rows, np.arange(len(jp_u) + 1))
+                return (split.astype(np.int64), cols_mm,
+                        refm[rows, cols_mm])
+
+            soa._mm_builder = build_mm
             handled[wu] = True
             if isinstance(st.recs, LazyRecs):
                 st.recs.soa = soa

@@ -43,6 +43,31 @@ class AlnSummary:
         else:
             self.nunp_uni1 += 1
 
+    def add_unpaired_soa(self, recs) -> int:
+        """Batch update from a LazyRecs/FastSoA view without materializing
+        records; returns the number aligned."""
+        soa = recs.soa
+        cached = set(i for i, _ in recs.cache_items())
+        B = len(recs)
+        import numpy as np
+        mask_c = np.zeros(B, bool)
+        for i in cached:
+            mask_c[i] = True
+        filled = soa.filled & ~mask_c
+        n_filled = int(filled.sum())
+        n_uni2 = int(soa.sec_has[soa.tidx[filled]].sum()) if n_filled else 0
+        self.nunpaired += B - len(cached)
+        self.nunp_uni2 += n_uni2
+        self.nunp_uni1 += n_filled - n_uni2
+        self.nunp_0 += (B - len(cached)) - n_filled
+        na = n_filled
+        for i in cached:
+            r = recs[i]
+            if not r.secondary:
+                self.add_unpaired(r)
+                na += bool(r.aligned)
+        return na
+
     def add_pair(self, r1, r2):
         self.npaired += 1
         if r1.proper and r2.proper:

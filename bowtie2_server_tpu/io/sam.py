@@ -227,3 +227,10 @@ def _sam_record_core(rec: AlnRec, ref_names, rg_id: str | None = None,
     return "\t".join([
         rec.name, str(flag), ref_names[rec.ref_id], str(rec.pos + 1),
         str(rec.mapq), cig, rnext, pnext, tlen, seq, qual] + tags)
+
+
+def sam_format_batch_native(recs, ref_names, rg_id=None, no_unal=False):
+    """Whole-batch SAM bytes via the native emitter (native/samfmt.cpp);
+    None when unavailable — callers fall back to per-record sam_record."""
+    from ..native import sam_format_batch
+    return sam_format_batch(recs, ref_names, rg_id=rg_id, no_unal=no_unal)

@@ -56,15 +56,18 @@ for BATCH in sizes:
     t_host = (time.time() - t0) / n_rep
 
     # (b) nodp variant
-    al2 = UnpairedAligner(idx)
-    al2.candgen.engine = "nodp"
-    h2 = al2.collect_async(batch)
-    h2[4][1].block_until_ready()
-    t0 = time.time()
-    for _ in range(n_rep):
+    if os.environ.get("PROF_NODP", "1") == "1":
+        al2 = UnpairedAligner(idx)
+        al2.candgen.engine = "nodp"
         h2 = al2.collect_async(batch)
         h2[4][1].block_until_ready()
-    t_nodp = (time.time() - t0) / n_rep
+        t0 = time.time()
+        for _ in range(n_rep):
+            h2 = al2.collect_async(batch)
+            h2[4][1].block_until_ready()
+        t_nodp = (time.time() - t0) / n_rep
+    else:
+        t_nodp = t_dev
 
     print(f"B={BATCH}: device={t_dev*1e3:.1f}ms (dp={1e3*(t_dev-t_nodp):.1f} "
           f"nodp={t_nodp*1e3:.1f}) host={t_host*1e3:.1f}ms "

@@ -209,7 +209,7 @@ def test_graft_entry_and_multichip_dryrun():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     # fused pipeline single packed output [5, C_max]
-    assert out.ndim == 2 and out.shape[0] == 6
+    assert out.ndim == 2 and out.shape[0] == 7
     g.dryrun_multichip(8)
 
 
