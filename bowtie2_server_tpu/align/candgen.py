@@ -104,18 +104,22 @@ class DeviceIndex(NamedTuple):
     fw: dfm.DeviceFm
     mirror: dfm.DeviceFm
     joined: jax.Array        # [n] uint8 packed unambiguous text
-    joined_words: jax.Array  # [ceil(n/16)] uint32, 16 bases/word, LE
+    joined_words: jax.Array  # [rows, 8] uint32 — 128 bases / 32 B per row
     run_starts: jax.Array    # [R] int32 unambiguous-run joined starts
     run_ends: jax.Array      # [R] int32 run joined ends
 
 
 def _pack_joined_words(joined: np.ndarray) -> np.ndarray:
+    """2-bit pack into uint32 words (16 bases/word, LE), then reshape to
+    [rows, 8]: one row = 128 bases = 32 bytes, the contiguous-gather unit
+    of this backend (a <=32B row gather costs one index)."""
     n = len(joined)
-    nw = (n + 15) // 16
-    pad = np.zeros(nw * 16, np.uint32)
+    nrows = (n + 127) // 128 + 3   # +3 pad rows: stage-6 window overhang
+    pad = np.zeros(nrows * 128, np.uint32)
     pad[:n] = joined
-    return (pad.reshape(-1, 16) << (2 * np.arange(16, dtype=np.uint32))
-            ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
+    words = (pad.reshape(-1, 16) << (2 * np.arange(16, dtype=np.uint32))
+             ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
+    return words.reshape(-1, 8)
 
 
 def make_device_index(idx, device=None) -> DeviceIndex:
@@ -674,17 +678,25 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
 
     Cx = cfg.C_max
     W = L + K
-    # word-packed reference gather: 16 bases per index, then a 16-way
-    # static-shift select (VPU) instead of per-base gathers
+    # reference gather in 32-byte rows (128 bases each — one gather index
+    # per row on this backend), then two static select levels: 8-way for
+    # the word offset inside the first row, 16-way for the base offset
+    # inside the word. Replaces nw single-word gathers per candidate.
     nw = W // 16 + 2
-    n_words = didx.joined_words.shape[0]
+    n_rows = didx.joined_words.shape[0]
+    nrow_g = -(-(nw + 7) // 8)   # rows to cover word offset 7 + nw words
     wsc = jnp.clip(ws, 0, jnp.maximum(n_text - 1, 1))
-    w0 = wsc >> 4
+    r0 = wsc >> 7
+    woff = (wsc >> 4) & 7
     sh = wsc & 15
-    wgat = didx.joined_words[
-        jnp.clip(w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :],
-                 0, n_words - 1)]                       # [C, nw] u32
-    unp = jnp.stack([(wgat >> jnp.uint32(2 * t)) & jnp.uint32(3)
+    rgat = didx.joined_words[
+        jnp.clip(r0[:, None] + jnp.arange(nrow_g, dtype=jnp.int32)[None, :],
+                 0, n_rows - 1)]                        # [C, nrow_g, 8]
+    words = rgat.reshape(Cx, nrow_g * 8)                # [C, 8*nrow_g]
+    wwin = jnp.zeros((Cx, nw), jnp.uint32)
+    for t in range(8):
+        wwin = jnp.where((woff == t)[:, None], words[:, t : t + nw], wwin)
+    unp = jnp.stack([(wwin >> jnp.uint32(2 * t)) & jnp.uint32(3)
                      for t in range(16)], axis=2)       # [C, nw, 16]
     unp = unp.reshape(Cx, nw * 16).astype(jnp.int32)
     band = jnp.zeros((Cx, W), jnp.int32)

@@ -88,6 +88,49 @@ class PairedPolicy:
             return DISCORDANT
         return CONCORDANT
 
+    def classify_batch(self, off1, len1, fw1, off2, len2, fw2):
+        """Vectorized classify over numpy arrays — same decision table as
+        classify() (differential-tested), True = CONCORDANT."""
+        off1 = np.asarray(off1, np.int64)
+        off2 = np.asarray(off2, np.int64)
+        len1 = np.asarray(len1, np.int64)
+        len2 = np.asarray(len2, np.int64)
+        fw1 = np.asarray(fw1, bool)
+        fw2 = np.asarray(fw2, bool)
+        if self.expand_to_fit:
+            maxfrag = np.maximum(self.maxfrag, np.maximum(len1, len2))
+        else:
+            maxfrag = np.full(off1.shape, self.maxfrag, np.int64)
+        minfrag = max(self.minfrag, 1)
+        if self.pol in ("FF", "RR"):
+            ok = fw1 == fw2
+            one_left = fw1 if self.pol == "FF" else ~fw1
+        else:
+            ok = fw1 != fw2
+            one_left = fw1 if self.pol == "FR" else ~fw1
+        frag = (np.maximum(off1 + len1, off2 + len2)
+                - np.minimum(off1, off2))
+        ok = ok & (frag <= maxfrag) & (frag >= minfrag)
+        lo1, hi1 = off1, off1 + len1 - 1
+        lo2, hi2 = off2, off2 + len2 - 1
+        containment = ((lo1 >= lo2) & (hi1 <= hi2)) | \
+                      ((lo2 >= lo1) & (hi2 <= hi1))
+        olap = ((lo1 <= lo2) & (lo2 <= hi1)) | \
+               ((lo1 <= hi2) & (hi2 <= hi1)) | containment
+        if not self.olap_ok:
+            ok &= ~olap
+        wrong = np.where(one_left, lo2 < lo1, lo1 < lo2)
+        ok &= olap | ~wrong
+        if not self.contain_ok:
+            ok &= ~containment
+        if not self.dovetail_ok:
+            bad_c = np.where(one_left, lo2 < lo1, lo1 < lo2)
+            ok &= ~(containment & bad_c)
+            dove = np.where(one_left, (hi1 > hi2) | (lo2 < lo1),
+                            (hi2 > hi1) | (lo1 < lo2))
+            ok &= containment | ~dove
+        return ok
+
 
 class PairedAligner:
     def __init__(self, index, scoring=None, policy: SearchPolicy | None = None,
@@ -150,6 +193,33 @@ class PairedAligner:
                         for k, t in enumerate(out)], rnd)]
         return out
 
+    def _fast_cp(self, st1, st2):
+        """Mask of pairs eligible for the concordant fast path, plus the
+        per-mate (score, candidate-index) arrays for eligible pairs."""
+        B = st1.B
+        zero = np.zeros(B, bool)
+        if self.up.sc.local:
+            return zero, None, None
+        out_sc, out_ci, singles, offs, fws, lens = [], [], [], [], [], []
+        for st in (st1, st2):
+            res = getattr(st, "sel", None)
+            if res is None or len(res.c_read) == 0:
+                return zero, None, None
+            NEGH = NEG_INF // 2
+            has = res.best_ci >= 0
+            k = np.clip(res.best_ci, 0, len(res.c_read) - 1)
+            single = (has & ~res.has_rect & (res.sec_sc <= NEGH)
+                      & res.c_ungapped[k] & ~st.filtered)
+            out_sc.append(res.c_score[k].astype(np.int64))
+            out_ci.append(k)
+            singles.append(single)
+            offs.append((res.c_ws[k] + res.c_bk[k]).astype(np.int64))
+            fws.append(res.c_fw[k])
+            lens.append(np.asarray(st.lens, np.int64))
+        conc = self.pe.classify_batch(offs[0], lens[0], fws[0],
+                                      offs[1], lens[1], fws[1])
+        return singles[0] & singles[1] & conc, out_sc, out_ci
+
     def _rescue_jobs(self, st_anchor, st_opp, i, s_anchor, batch_opp):
         """Build rectangle-DP rescue jobs for the opposite mate from the
         anchor's best candidates (ref: PairedEndPolicy::otherMate +
@@ -186,9 +256,19 @@ class PairedAligner:
         st2 = self.up.collect(b2, boost=both_ok,
                               seed_skip=both_ok & st1.seeds_failed_r0)
         B = st1.B
-        scored1 = [self.up.scored_candidates(st1, i) for i in range(B)]
-        scored2 = [self.up.scored_candidates(st2, i) for i in range(B)]
-        combos = [self._combos(st1, st2, i, scored1[i], scored2[i])
+        # fast-pair shortcut: both mates have exactly one (ungapped,
+        # interior, untied) candidate and the pair classifies concordant on
+        # exact offsets — the dominant case; skips the per-read python
+        # candidate ranking entirely (ref: the happy path through
+        # extendSeedsPaired, aligner_sw_driver.cpp:1385)
+        fastcp, f_sc, f_ci = self._fast_cp(st1, st2)
+        scored1 = [[(f_sc[0][i], f_ci[0][i])] if fastcp[i]
+                   else self.up.scored_candidates(st1, i) for i in range(B)]
+        scored2 = [[(f_sc[1][i], f_ci[1][i])] if fastcp[i]
+                   else self.up.scored_candidates(st2, i) for i in range(B)]
+        combos = [[(f_sc[0][i] + f_sc[1][i], f_sc[0][i], f_ci[0][i],
+                    f_sc[1][i], f_ci[1][i], True)] if fastcp[i]
+                  else self._combos(st1, st2, i, scored1[i], scored2[i])
                   for i in range(B)]
 
         # ---- batched mate rescue ----
@@ -325,11 +405,14 @@ class PairedAligner:
             if not (ok1 and ok2):
                 r1.aligned = r2.aligned = False
                 continue
-            # re-classify with exact coordinates
+            # re-classify with exact coordinates; concordance requires the
+            # same reference sequence (joined-space prefilter distances can
+            # alias across a reference boundary)
             span1 = _ref_span(r1)
             span2 = _ref_span(r2)
-            if pe.classify(r1.pos, span1, r1.fw, r2.pos, span2,
-                           r2.fw) != CONCORDANT:
+            if r1.ref_id != r2.ref_id or \
+                    pe.classify(r1.pos, span1, r1.fw, r2.pos, span2,
+                                r2.fw) != CONCORDANT:
                 r1.aligned = r2.aligned = False
                 continue
             msc = int(st1.minsc[i]) + int(st2.minsc[i])

@@ -141,3 +141,28 @@ def test_refinish_keeps_seq_orientation():
     assert st.recs[0].seq == seq_once
     assert st.recs[0].qual == qual_once
     assert st.recs[0].seq == dna.decode(dna.revcomp(dna.encode(seq))).encode()
+
+
+def test_classify_batch_matches_scalar():
+    import numpy as np
+    from bowtie2_server_tpu.align.paired import CONCORDANT, PairedPolicy
+    rng = np.random.default_rng(7)
+    for pol in ("FR", "RF", "FF", "RR"):
+        for dove, olap, cont in ((False, True, True), (True, True, True),
+                                 (False, False, True), (False, True, False)):
+            pe = PairedPolicy(pol=pol, minfrag=10, maxfrag=300,
+                              dovetail_ok=dove, olap_ok=olap,
+                              contain_ok=cont)
+            n = 400
+            o1 = rng.integers(0, 500, n)
+            o2 = o1 + rng.integers(-350, 350, n)
+            l1 = rng.integers(30, 150, n)
+            l2 = rng.integers(30, 150, n)
+            f1 = rng.random(n) < 0.5
+            f2 = rng.random(n) < 0.5
+            vec = pe.classify_batch(o1, l1, f1, o2, l2, f2)
+            for t in range(n):
+                want = pe.classify(int(o1[t]), int(l1[t]), bool(f1[t]),
+                                   int(o2[t]), int(l2[t]),
+                                   bool(f2[t])) == CONCORDANT
+                assert bool(vec[t]) == want, (pol, dove, olap, cont, t)
