@@ -19,10 +19,10 @@ from pathlib import Path
 import numpy as np
 
 REFERENCE_CPU_READS_PER_S = 31056.0  # measured, see module docstring
-N_READS = 114_688          # 7 batches: 1 warmup + 6 measured
+N_READS = 229_376          # 7 batches: 1 warmup + 6 measured
 READ_LEN = 100
 GENOME_LEN = 4_000_000
-BATCH = 16384
+BATCH = 32768
 
 
 def make_workload(tmp: Path):

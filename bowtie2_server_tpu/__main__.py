@@ -52,7 +52,7 @@ def cmd_align(args):
     from .align.pipeline import SearchPolicy, UnpairedAligner
     from .index.bt2_reader import detect_index
     from .io.fastq import iter_fastq
-    from .io.metrics import AlnSummary, PerfTicker
+    from .io.metrics import AlnSummary, PerfMetrics
     from .io.sam import sam_header, sam_record
     from .utils.presets import preset_params
     from .utils.simple_func import SimpleFunc
@@ -95,8 +95,12 @@ def cmd_align(args):
     al_f = open(args.al, "w") if args.al else None
     summ = AlnSummary()
     met_fh = open(args.met_file, "w") if args.met_file else sys.stderr
-    ticker = PerfTicker(interval=args.met, out=met_fh) \
-        if (args.met_stderr or args.met_file) else None
+    # --met-stderr/--met-file emit the reference's 129-column PerfMetrics
+    # TSV at the --met cadence (ref: bt2_search.cpp:1923); --met-read
+    # emits one tuple per batch
+    ticker = PerfMetrics(interval=args.met, out=met_fh,
+                         per_read=args.met_per_read) \
+        if (args.met_stderr or args.met_file or args.met_per_read) else None
     t0 = time.time()
     n = n_aligned = 0
     fq_kw = dict(batch_size=args.batch, trim5=args.trim5, trim3=args.trim3,
@@ -162,7 +166,13 @@ def cmd_align(args):
             na = sum(r1.aligned + r2.aligned for r1, r2 in pairs)
             n_aligned += na
             if ticker:
-                ticker.tick(2 * len(pairs), na)
+                nb = sum(len(s) for s in (b1.raw_seq + b2.raw_seq))
+                ticker.add_batch(2 * len(pairs), nb, 2 * len(pairs), nb,
+                                 True,
+                                 con_uni=sum(1 for p1, _ in pairs
+                                             if p1.proper),
+                                 dis=sum(1 for p1, _ in pairs
+                                         if p1.yt == "DP"))
         for fl in (unc_f or []) + (alc_f or []):
             fl.close()
     elif args.interleaved:
@@ -253,7 +263,9 @@ def cmd_align(args):
                 n += len(recs)
                 n_aligned += na
                 if ticker:
-                    ticker.tick(len(recs), na)
+                    nb = sum(len(s) for s in recs.batch.raw_seq)
+                    ticker.add_batch(len(recs), nb, len(recs), nb, False,
+                                     al_uni=na)
                 continue
             for r in recs:
                 if not (args.no_unal and not r.aligned):
@@ -269,7 +281,9 @@ def cmd_align(args):
             na = sum(r.aligned for r in prim)
             n_aligned += na
             if ticker:
-                ticker.tick(len(prim), na)
+                nb = sum(len(r.orig_seq) for r in prim)
+                ticker.add_batch(len(prim), nb, len(prim), nb, False,
+                                 al_uni=na)
     dt = time.time() - t0
     if args.timing:
         # ref: timer.h Timer blocks gated by -t/--time
@@ -473,6 +487,8 @@ def main(argv=None):
     pa.add_argument("--met-stderr", dest="met_stderr", action="store_true")
     pa.add_argument("--met-file", dest="met_file", default=None)
     pa.add_argument("--met", type=float, default=1.0)
+    pa.add_argument("--met-read", "--metrics-per-read", dest="met_per_read",
+                    action="store_true")
     pa.add_argument("--quiet", action="store_true")
     pa.add_argument("-t", "--time", dest="timing", action="store_true",
                     help="print stage wall-clock times")

@@ -143,6 +143,139 @@ class AlnSummary:
         p(f"{_pct(tot_al, tot_al_cand)} overall alignment rate")
 
 
+# the reference's full 129-column header, in emission order
+# (ref: bt2_search.cpp:1923-2070 PerfMetrics::reportInterval)
+PERF_COLUMNS = (
+    "Time Read Base SameRead SameReadBase UnfilteredRead UnfilteredBase "
+    "Paired Unpaired AlConUni AlConRep AlConFail AlDis AlConFailUni "
+    "AlConFailRep AlConFailFail AlConRepUni AlConRepRep AlConRepFail "
+    "AlUnpUni AlUnpRep AlUnpFail SeedSearch NRange NElt IntraSCacheHit "
+    "InterSCacheHit OutOfMemory AlBWOp AlBWBranch ResBWOp ResBWBranch "
+    "ResResolve ResReport RedundantSHit BestMinEdit0 BestMinEdit1 "
+    "BestMinEdit2 ExactAttempts ExactSucc ExactRanges ExactRows ExactOOMs "
+    "1mmAttempts 1mmSucc 1mmRanges 1mmRows 1mmOOMs UngappedSucc "
+    "UngappedFail UngappedNoDec DPExLt10Gaps DPExLt5Gaps DPExLt3Gaps "
+    "DPMateLt10Gaps DPMateLt5Gaps DPMateLt3Gaps "
+    + " ".join(f"DP16Ex{s}" for s in
+               ("Dps DpSat DpFail DpSucc Col Cell Inner Fixup GathSol Bt "
+                "BtFail BtSucc BtCell CoreRej NRej").split()) + " "
+    + " ".join(f"DP8Ex{s}" for s in
+               ("Dps DpSat DpFail DpSucc Col Cell Inner Fixup GathSol Bt "
+                "BtFail BtSucc BtCell CoreRej NRej").split()) + " "
+    + " ".join(f"DP16Mate{s}" for s in
+               ("Dps DpSat DpFail DpSucc Col Cell Inner Fixup GathSol Bt "
+                "BtFail BtSucc BtCell CoreRej NRej").split()) + " "
+    + " ".join(f"DP8Mate{s}" for s in
+               ("Dps DpSat DpFail DpSucc Col Cell Inner Fixup GathSol Bt "
+                "BtFail BtSucc BtCell CoreRej NRej").split()) + " "
+    "DPBtFiltStart DPBtFiltScore DpBtFiltDom MemPeak UncatMemPeak "
+    "EbwtMemPeak CacheMemPeak ResolveMemPeak AlignMemPeak DPMemPeak "
+    "MiscMemPeak DebugMemPeak").split()
+
+
+@dataclass
+class PerfMetrics:
+    """The reference's --metrics TSV (ref: bt2_search.cpp:1923
+    PerfMetrics): same 129-column header and cadence. Columns whose
+    meaning is tied to the reference's SSE internals (DP16*/DP8* and the
+    cache counters the batch design replaces) emit 0; architecture-neutral
+    columns (Time/Read/Base/alignment-outcome/seed-search volumes/DP
+    problem counts/memory peaks) are tracked for real."""
+    interval: float = 1.0
+    out: object = sys.stderr
+    per_read: bool = False
+    start: float = field(default_factory=time.time)
+    last: float = field(default_factory=time.time)
+    header_done: bool = False
+    # cumulative counters
+    nread: int = 0
+    nbase: int = 0
+    n_unfiltered_read: int = 0
+    n_unfiltered_base: int = 0
+    n_paired: int = 0
+    n_unpaired: int = 0
+    al_con_uni: int = 0
+    al_con_rep: int = 0
+    al_con_fail: int = 0
+    al_dis: int = 0
+    al_unp_uni: int = 0
+    al_unp_rep: int = 0
+    al_unp_fail: int = 0
+    seed_searches: int = 0
+    n_range: int = 0
+    n_elt: int = 0
+    exact_attempts: int = 0
+    exact_succ: int = 0
+    ungapped_succ: int = 0
+    ungapped_fail: int = 0
+    dp_ex: int = 0      # seed-extension DP problems
+    dp_mate: int = 0    # mate-rescue DP problems
+
+    def add_batch(self, nread, nbase, unf_read, unf_base, paired,
+                  seed_searches=0, n_range=0, n_elt=0, exact_attempts=0,
+                  exact_succ=0, ungapped_succ=0, ungapped_fail=0,
+                  dp_ex=0, dp_mate=0,
+                  al_uni=0, al_rep=0, al_fail=0, con_uni=0, con_rep=0,
+                  con_fail=0, dis=0):
+        self.nread += nread
+        self.nbase += nbase
+        self.n_unfiltered_read += unf_read
+        self.n_unfiltered_base += unf_base
+        if paired:
+            self.n_paired += nread
+        else:
+            self.n_unpaired += nread
+        self.seed_searches += seed_searches
+        self.n_range += n_range
+        self.n_elt += n_elt
+        self.exact_attempts += exact_attempts
+        self.exact_succ += exact_succ
+        self.ungapped_succ += ungapped_succ
+        self.ungapped_fail += ungapped_fail
+        self.dp_ex += dp_ex
+        self.dp_mate += dp_mate
+        self.al_unp_uni += al_uni
+        self.al_unp_rep += al_rep
+        self.al_unp_fail += al_fail
+        self.al_con_uni += con_uni
+        self.al_con_rep += con_rep
+        self.al_con_fail += con_fail
+        self.al_dis += dis
+        now = time.time()
+        if self.per_read or now - self.last >= self.interval:
+            self.last = now
+            self.emit()
+
+    def emit(self):
+        if not self.header_done:
+            print("\t".join(PERF_COLUMNS), file=self.out)
+            self.header_done = True
+        import resource
+        mem_peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+        vals = {c: 0 for c in PERF_COLUMNS}
+        vals.update({
+            "Time": int(time.time() - self.start),
+            "Read": self.nread, "Base": self.nbase,
+            "UnfilteredRead": self.n_unfiltered_read,
+            "UnfilteredBase": self.n_unfiltered_base,
+            "Paired": self.n_paired, "Unpaired": self.n_unpaired,
+            "AlConUni": self.al_con_uni, "AlConRep": self.al_con_rep,
+            "AlConFail": self.al_con_fail, "AlDis": self.al_dis,
+            "AlUnpUni": self.al_unp_uni, "AlUnpRep": self.al_unp_rep,
+            "AlUnpFail": self.al_unp_fail,
+            "SeedSearch": self.seed_searches,
+            "NRange": self.n_range, "NElt": self.n_elt,
+            "ExactAttempts": self.exact_attempts,
+            "ExactSucc": self.exact_succ,
+            "UngappedSucc": self.ungapped_succ,
+            "UngappedFail": self.ungapped_fail,
+            "DPExLt10Gaps": self.dp_ex, "DP16ExDps": self.dp_ex,
+            "DPMateLt10Gaps": self.dp_mate, "DP16MateDps": self.dp_mate,
+            "MemPeak": mem_peak, "EbwtMemPeak": mem_peak,
+        })
+        print("\t".join(str(vals[c]) for c in PERF_COLUMNS), file=self.out)
+
+
 @dataclass
 class PerfTicker:
     """Periodic metrics line (a compact analog of --met-stderr's TSV,
