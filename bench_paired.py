@@ -1,0 +1,125 @@
+"""Paired-end benchmark — BASELINE config 4 shape (multi-chromosome
+fungal-scale genome, 150 bp FR pairs).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: reference server+client pair on this host's 2-core CPU for the
+same workload (see tmp/ref_paired_baseline.json if measured; else the
+documented 2026-08-19 measurement).
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REFERENCE_CPU_PAIRS_PER_S = float(
+    os.environ.get("REF_PAIRS_PER_S", "5327"))
+# measured 2026-08-19: reference server+client (-p 2) on this host's
+# 2-core CPU, 40960 synthetic 150bp FR pairs vs the 12 Mbp genome: 7.7 s
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", "40960"))
+READ_LEN = 150
+CHROMS = 8
+CHROM_LEN = 1_500_000          # 12 Mbp total (S. cerevisiae scale)
+BATCH = 8192
+FRAG_MU, FRAG_SD = 350, 40
+
+
+def make_workload(tmp: Path):
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    chroms = [rng.integers(0, 4, CHROM_LEN).astype(np.uint8)
+              for _ in range(CHROMS)]
+    fa = tmp / "bench_yeast.fa"
+    if not fa.exists():
+        with open(fa, "w") as f:
+            for ci, g in enumerate(chroms):
+                f.write(f">chr{ci+1}\n")
+                s = bases[g].tobytes().decode()
+                for i in range(0, len(s), 70):
+                    f.write(s[i : i + 70] + "\n")
+    n1, s1, q1, n2, s2, q2 = [], [], [], [], [], []
+    ql = b"I" * READ_LEN
+    for i in range(N_PAIRS):
+        g = chroms[int(rng.integers(0, CHROMS))]
+        frag = int(np.clip(rng.normal(FRAG_MU, FRAG_SD), 2 * READ_LEN, 600))
+        st = int(rng.integers(0, CHROM_LEN - frag))
+        m1 = g[st : st + READ_LEN].copy()
+        m2 = (3 - g[st + frag - READ_LEN : st + frag][::-1]).copy()
+        for m in (m1, m2):
+            for _ in range(int(rng.integers(0, 4))):
+                m[int(rng.integers(0, READ_LEN))] = int(rng.integers(0, 4))
+        n1.append(f"p{i}")
+        n2.append(f"p{i}")
+        s1.append(bases[m1].tobytes())
+        s2.append(bases[m2].tobytes())
+        q1.append(ql)
+        q2.append(ql)
+    return fa, (n1, s1, q1), (n2, s2, q2)
+
+
+def dump_fastq(tmp: Path):
+    """Write the workload as FASTQ pair files (for the reference baseline
+    measurement)."""
+    fa, m1, m2 = make_workload(tmp)
+    for tag, (nn, ss, qq) in (("1", m1), ("2", m2)):
+        with open(tmp / f"bench_p{tag}.fq", "w") as f:
+            for nm, sq, ql in zip(nn, ss, qq):
+                f.write(f"@{nm}\n{sq.decode()}\n+\n{ql.decode()}\n")
+    print(f"wrote tmp/bench_p1.fq tmp/bench_p2.fq ({len(m1[0])} pairs)")
+
+
+def main():
+    tmp = Path("tmp")
+    tmp.mkdir(exist_ok=True)
+    if "--dump-fq" in sys.argv:
+        dump_fastq(tmp)
+        return
+    import jax
+    cache = tmp / "jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    fa, m1, m2 = make_workload(tmp)
+
+    from bowtie2_server_tpu.align.paired import PairedAligner
+    from bowtie2_server_tpu.index.build import build_index
+    from bowtie2_server_tpu.index.fm import FmIndex
+    from bowtie2_server_tpu.io.fastq import make_batch
+
+    idx_base = tmp / "bench_yeast_idx"
+    if Path(str(idx_base) + ".fm.npz").exists():
+        idx = FmIndex.load(idx_base)
+    else:
+        idx = build_index(fa)
+        idx.save(idx_base)
+    pal = PairedAligner(idx)
+
+    b1s = [make_batch(m1[0][i:i + BATCH], m1[1][i:i + BATCH],
+                      m1[2][i:i + BATCH])
+           for i in range(0, N_PAIRS, BATCH)]
+    b2s = [make_batch(m2[0][i:i + BATCH], m2[1][i:i + BATCH],
+                      m2[2][i:i + BATCH])
+           for i in range(0, N_PAIRS, BATCH)]
+    # warmup/compile
+    pairs = pal.align_batch(b1s[0], b2s[0])
+    n_con = sum(1 for r1, _ in pairs if r1.proper)
+    t0 = time.time()
+    n = 0
+    for b1, b2 in zip(b1s[1:], b2s[1:]):
+        pairs = pal.align_batch(b1, b2)
+        n_con += sum(1 for r1, _ in pairs if r1.proper)
+        n += len(pairs)
+    dt = time.time() - t0
+    pps = n / dt
+    print(json.dumps({
+        "metric": "paired_align_pairs_per_s_per_chip",
+        "value": round(pps, 1), "unit": "pairs/s",
+        "vs_baseline": round(pps / REFERENCE_CPU_PAIRS_PER_S, 4)}))
+    print(f"# {n_con}/{n + len(b1s[0])} concordant; {n} pairs in {dt:.1f}s",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

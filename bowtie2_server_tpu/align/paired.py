@@ -22,8 +22,8 @@ import numpy as np
 from ..io.fastq import ReadBatch
 from ..ops.sw import NEG_INF, sw_align_batch
 from ..utils.rng import RandomSource, select_by_score_order
-from .mapq import mapq_v2
-from .pipeline import AlnRec, SearchPolicy, UnpairedAligner
+from .mapq import mapq_v2, mapq_v2_batch
+from .pipeline import AlnRec, LazyRecs, SearchPolicy, UnpairedAligner
 
 CONCORDANT, DISCORDANT = 1, 0
 
@@ -220,6 +220,69 @@ class PairedAligner:
                                       offs[1], lens[1], fws[1])
         return singles[0] & singles[1] & conc, out_sc, out_ci
 
+    def _commit_fast_cp(self, st1, st2, mask, f_sc, f_ci):
+        """Vectorized commit of the concordant fast pairs into per-mate
+        FastSoA views (the CP outcome of _decide, column-wise). Pairs whose
+        mates resolve to different references are dropped back to the slow
+        path. Returns the (possibly narrowed) committed mask."""
+        w = np.nonzero(mask)[0]
+        cols = []
+        for st, ks in ((st1, f_ci[0]), (st2, f_ci[1])):
+            res = st.res
+            k = ks[w]
+            jp = (res.c_ws[k] + res.c_bk[k]).astype(np.int64)
+            ref_id, ref_off, _ = self.up.idx.joined_to_ref(jp)
+            cols.append(dict(
+                fw=res.c_fw[k], jp=jp, rl=np.asarray(st.lens, np.int64)[w],
+                ref_id=ref_id.astype(np.int64),
+                pos=ref_off.astype(np.int64),
+                nm=res.c_nm[k], sc=res.c_score[k].astype(np.int64)))
+        c1, c2 = cols
+        ok = c1["ref_id"] == c2["ref_id"]
+        if not ok.all():
+            mask = mask.copy()
+            mask[w[~ok]] = False
+            w = w[ok]
+            if not len(w):
+                return mask
+            for c in cols:
+                for key in list(c):
+                    c[key] = c[key][ok]
+        n = len(w)
+        tot = c1["sc"] + c2["sc"]
+        msc = np.asarray(st1.minsc)[w] + np.asarray(st2.minsc)[w]
+        per = np.asarray(st1.perfect)[w] + np.asarray(st2.perfect)[w]
+        mapq = mapq_v2_batch(tot, np.zeros_like(tot), np.zeros(n, bool),
+                             msc, per, self.up.sc.monotone)
+        # TLEN over unclipped extents (ungapped: ref span == read length);
+        # sign rules mirror _set_mate_fields
+        lo = np.minimum(c1["pos"], c2["pos"])
+        hi = np.maximum(c1["pos"] + c1["rl"], c2["pos"] + c2["rl"])
+        tl = hi - lo
+        same = c1["pos"] == c2["pos"]
+        left1 = np.where(same, c1["fw"], c1["pos"] < c2["pos"])
+        left2 = np.where(same, c2["fw"], c2["pos"] < c1["pos"])
+        tl1 = np.where(left1, tl, -tl)
+        tl2 = np.where(left2, tl, -tl)
+        eq = same & (c1["fw"] == c2["fw"])
+        tl1 = np.where(eq, tl, tl1)
+        tl2 = np.where(eq, -tl, tl2)
+        for st, me, other, m1, tln in ((st1, c1, c2, True, tl1),
+                                       (st2, c2, c1, False, tl2)):
+            soa = self.up._soa_from_best(
+                st, w, me["fw"], me["ref_id"], me["pos"], me["sc"],
+                np.zeros(n, bool), np.zeros(n, np.int64), mapq,
+                me["nm"], me["rl"], me["jp"])
+            soa.pair = dict(mate1=m1, mate_fw=other["fw"],
+                            mate_ref_id=other["ref_id"],
+                            mate_pos=other["pos"], tlen=tln, ys=other["sc"])
+            if isinstance(st.recs, LazyRecs):
+                st.recs.soa = soa
+            else:
+                for i in w:
+                    soa.fill(st.recs[int(i)], int(i))
+        return mask
+
     def _rescue_jobs(self, st_anchor, st_opp, i, s_anchor, batch_opp):
         """Build rectangle-DP rescue jobs for the opposite mate from the
         anchor's best candidates (ref: PairedEndPolicy::otherMate +
@@ -262,19 +325,20 @@ class PairedAligner:
         # candidate ranking entirely (ref: the happy path through
         # extendSeedsPaired, aligner_sw_driver.cpp:1385)
         fastcp, f_sc, f_ci = self._fast_cp(st1, st2)
-        scored1 = [[(f_sc[0][i], f_ci[0][i])] if fastcp[i]
+        if fastcp.any():
+            fastcp = self._commit_fast_cp(st1, st2, fastcp, f_sc, f_ci)
+        scored1 = [None if fastcp[i]
                    else self.up.scored_candidates(st1, i) for i in range(B)]
-        scored2 = [[(f_sc[1][i], f_ci[1][i])] if fastcp[i]
+        scored2 = [None if fastcp[i]
                    else self.up.scored_candidates(st2, i) for i in range(B)]
-        combos = [[(f_sc[0][i] + f_sc[1][i], f_sc[0][i], f_ci[0][i],
-                    f_sc[1][i], f_ci[1][i], True)] if fastcp[i]
+        combos = [None if fastcp[i]
                   else self._combos(st1, st2, i, scored1[i], scored2[i])
                   for i in range(B)]
 
         # ---- batched mate rescue ----
         jobs = []  # (which_st_opp, i, opp_fw, wl, wr)
         for i in range(B):
-            if combos[i]:
+            if fastcp[i] or combos[i]:
                 continue
             # never rescue a filtered mate (N-filter etc., ref:
             # bt2_search.cpp:3419 filt[] gates all paired work)
@@ -292,9 +356,10 @@ class PairedAligner:
                 scored2[i] = self.up.scored_candidates(st2, i)
                 combos[i] = self._combos(st1, st2, i, scored1[i], scored2[i])
 
-        # ---- per-pair decision ----
+        # ---- per-pair decision (fast pairs are already committed) ----
         for i in range(B):
-            self._decide(st1, st2, i, scored1[i], scored2[i], combos[i])
+            if not fastcp[i]:
+                self._decide(st1, st2, i, scored1[i], scored2[i], combos[i])
         return list(zip(st1.recs, st2.recs))
 
     def _run_rescue(self, jobs, st1, st2, b1, b2):

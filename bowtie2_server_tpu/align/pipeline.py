@@ -214,13 +214,14 @@ class FastSoA:
 
     __slots__ = ("filled", "tidx", "fw", "ref_id", "pos", "score",
                  "sec_has", "sec", "mapq", "nm", "rl",
-                 "mm_split", "mm_cols", "mm_ref", "_mm_builder")
+                 "mm_split", "mm_cols", "mm_ref", "_mm_builder", "pair")
 
     _BASES = "ACGTN"
 
     def __init__(self):
         self._mm_builder = None
         self.mm_split = None
+        self.pair = None   # concordant-pair column dict (paired fast path)
 
     def _ensure_mm(self):
         """Mismatch detail is derived lazily (one vectorized pass) the
@@ -260,6 +261,18 @@ class FastSoA:
         rec.nm = rec.xm = int(self.nm[t])
         rec.xo = rec.xg = rec.xn = 0
         rec.md = self.md(t)
+        if self.pair is not None:
+            p = self.pair
+            rec.paired = True
+            rec.mate1 = p["mate1"]
+            rec.proper = True
+            rec.yt = "CP"
+            rec.mate_aligned = True
+            rec.mate_fw = bool(p["mate_fw"][t])
+            rec.mate_ref_id = int(p["mate_ref_id"][t])
+            rec.mate_pos = int(p["mate_pos"][t])
+            rec.tlen = int(p["tlen"][t])
+            rec.ys = int(p["ys"][t])
         if rec.fw:
             rec.seq, rec.qual = rec.orig_seq, rec.orig_qual
         else:
@@ -674,52 +687,12 @@ class UnpairedAligner:
         u = np.nonzero(ungapped)[0]
         if len(u):
             wu = w[u]
-            soa = FastSoA()
-            soa.filled = np.zeros(B, bool)
-            soa.filled[wu] = True
-            soa.tidx = np.full(B, -1, np.int32)
-            soa.tidx[wu] = np.arange(len(u), dtype=np.int32)
-            soa.fw = fw_b[u]
-            soa.ref_id = ref_id[u]
-            soa.pos = ref_off[u]
-            soa.score = score[u]
-            soa.sec_has = (has_sec | exact_rule)[u]
-            soa.sec = np.where(has_sec, res.sec_sc[w],
-                               st.perfect[w]).astype(np.int64)[u]
-            soa.mapq = mapqs[u]
-            soa.nm = res.c_nm[k][u]
-            soa.rl = rl[u]
-            jp_u = jp[u]
-            fw_u = soa.fw
-            rl_u = soa.rl
-            joined = self.idx.joined
-            fw_seqs = st.fw_seqs
-            wu_c = wu
-
-            def build_mm():
-                # derive per-read mismatch (column, ref base) lists for MD
-                # in one vectorized pass over the committed subset
-                Lm = int(rl_u.max(initial=1))
-                cols = jp_u[:, None] + np.arange(Lm)
-                refm = joined[np.clip(cols, 0, len(joined) - 1)]
-                rd = fw_seqs[wu_c, :Lm].copy()
-                rcm = ~fw_u
-                if rcm.any():
-                    rr = rd[rcm]
-                    ll = rl_u[rcm]
-                    src = ll[:, None] - 1 - np.arange(Lm)[None, :]
-                    ok = src >= 0
-                    g = np.take_along_axis(rr, np.clip(src, 0, Lm - 1),
-                                           axis=1)
-                    rd[rcm] = np.where(ok, np.where(g <= 3, 3 - g, g), 5)
-                jmask = np.arange(Lm)[None, :] < rl_u[:, None]
-                mmn = ((rd != refm) | (rd > 3)) & jmask
-                rows, cols_mm = np.nonzero(mmn)
-                split = np.searchsorted(rows, np.arange(len(jp_u) + 1))
-                return (split.astype(np.int64), cols_mm,
-                        refm[rows, cols_mm])
-
-            soa._mm_builder = build_mm
+            soa = self._soa_from_best(
+                st, wu, fw_b[u], ref_id[u], ref_off[u], score[u],
+                (has_sec | exact_rule)[u],
+                np.where(has_sec, res.sec_sc[w],
+                         st.perfect[w]).astype(np.int64)[u],
+                mapqs[u], res.c_nm[k][u], rl[u], jp[u])
             handled[wu] = True
             if isinstance(st.recs, LazyRecs):
                 st.recs.soa = soa
@@ -727,6 +700,54 @@ class UnpairedAligner:
                 for i in wu:
                     soa.fill(st.recs[int(i)], int(i))
         return handled
+
+    def _soa_from_best(self, st, wu, fw, ref_id, pos, score, sec_has, sec,
+                       mapq, nm, rl, jp) -> FastSoA:
+        """Assemble a FastSoA for the committed reads `wu` (column arrays
+        already selected), with a lazy MD builder over the subset."""
+        B = st.B
+        soa = FastSoA()
+        soa.filled = np.zeros(B, bool)
+        soa.filled[wu] = True
+        soa.tidx = np.full(B, -1, np.int32)
+        soa.tidx[wu] = np.arange(len(wu), dtype=np.int32)
+        soa.fw = fw
+        soa.ref_id = ref_id
+        soa.pos = pos
+        soa.score = score
+        soa.sec_has = sec_has
+        soa.sec = sec
+        soa.mapq = mapq
+        soa.nm = nm
+        soa.rl = rl
+        joined = self.idx.joined
+        fw_seqs = st.fw_seqs
+
+        def build_mm():
+            # derive per-read mismatch (column, ref base) lists for MD
+            # in one vectorized pass over the committed subset
+            Lm = int(rl.max(initial=1))
+            cols = jp[:, None] + np.arange(Lm)
+            refm = joined[np.clip(cols, 0, len(joined) - 1)]
+            rd = fw_seqs[wu, :Lm].copy()
+            rcm = ~fw
+            if rcm.any():
+                rr = rd[rcm]
+                ll = rl[rcm]
+                src = ll[:, None] - 1 - np.arange(Lm)[None, :]
+                ok = src >= 0
+                g = np.take_along_axis(rr, np.clip(src, 0, Lm - 1),
+                                       axis=1)
+                rd[rcm] = np.where(ok, np.where(g <= 3, 3 - g, g), 5)
+            jmask = np.arange(Lm)[None, :] < rl[:, None]
+            mmn = ((rd != refm) | (rd > 3)) & jmask
+            rows, cols_mm = np.nonzero(mmn)
+            split = np.searchsorted(rows, np.arange(len(jp) + 1))
+            return (split.astype(np.int64), cols_mm,
+                    refm[rows, cols_mm])
+
+        soa._mm_builder = build_mm
+        return soa
 
     def _collect_host(self, batch: ReadBatch, boost=None, seed_skip=None):
         """Run all candidate-generation + DP stages; return the per-batch
