@@ -110,9 +110,20 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / REFERENCE_CPU_READS_PER_S, 4),
     }
-    print(json.dumps(out))
     print(f"# aligned {n_aligned}/{n} reads; warm batches {len(batches)-1}, "
           f"{dt:.1f}s", file=sys.stderr)
+    # paired throughput rides along in the same JSON line so the driver's
+    # BENCH record carries both numbers (BASELINE configs 3 + 4)
+    if os.environ.get("BENCH_SKIP_PAIRED", "") != "1":
+        try:
+            import bench_paired
+            pps = bench_paired.run(quiet=True)
+            out["paired_pairs_per_s"] = round(pps, 1)
+            out["paired_vs_baseline"] = round(
+                pps / bench_paired.REFERENCE_CPU_PAIRS_PER_S, 4)
+        except Exception as e:   # never let the paired leg kill the bench
+            print(f"# paired bench failed: {e}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

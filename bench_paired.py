@@ -71,16 +71,25 @@ def dump_fastq(tmp: Path):
 
 
 def main():
+    if "--dump-fq" in sys.argv:
+        dump_fastq(Path("tmp"))
+        return
+    run(quiet=False)
+
+
+def run(quiet: bool = False) -> float:
+    """Run the paired workload; returns pairs/s. With quiet, prints only
+    the trailing comment (bench.py embeds the number in its own JSON)."""
     tmp = Path("tmp")
     tmp.mkdir(exist_ok=True)
-    if "--dump-fq" in sys.argv:
-        dump_fastq(tmp)
-        return
     import jax
     cache = tmp / "jax_cache"
     cache.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     fa, m1, m2 = make_workload(tmp)
 
     from bowtie2_server_tpu.align.paired import PairedAligner
@@ -113,12 +122,14 @@ def main():
         n += len(pairs)
     dt = time.time() - t0
     pps = n / dt
-    print(json.dumps({
-        "metric": "paired_align_pairs_per_s_per_chip",
-        "value": round(pps, 1), "unit": "pairs/s",
-        "vs_baseline": round(pps / REFERENCE_CPU_PAIRS_PER_S, 4)}))
+    if not quiet:
+        print(json.dumps({
+            "metric": "paired_align_pairs_per_s_per_chip",
+            "value": round(pps, 1), "unit": "pairs/s",
+            "vs_baseline": round(pps / REFERENCE_CPU_PAIRS_PER_S, 4)}))
     print(f"# {n_con}/{n + len(b1s[0])} concordant; {n} pairs in {dt:.1f}s",
           file=sys.stderr)
+    return pps
 
 
 if __name__ == "__main__":

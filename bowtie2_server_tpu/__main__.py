@@ -76,7 +76,10 @@ def cmd_align(args):
         polkw["interval"] = SimpleFunc.parse(args.ival)
     if args.rounds:
         polkw["n_seed_rounds"] = args.rounds
-    khits = 500 if args.all_hits else args.khits
+    # -a: unbounded reporting (ref: ReportingParams::allHits) — routes to
+    # the host path with a boosted per-range resolution cap
+    from .align.pipeline import ALL_HITS
+    khits = ALL_HITS if args.all_hits else args.khits
     # -M: sample 1 of the best among > M alignments; -k/-a disable it
     # (ref: bt2_search.cpp:1246-1311 -M/-k/-a interplay)
     if args.mhits is not None:
@@ -86,7 +89,13 @@ def cmd_align(args):
         polkw["mhits"], polkw["msample"] = 0, False
     if args.seed_mms:
         polkw["n_seed_mms"] = args.seed_mms
+    if args.non_deterministic:
+        polkw["non_deterministic"] = True
     pol = SearchPolicy(khits=khits, seed=args.seed, **polkw)
+    # input quality encoding (ref: qual.h:105 charToPhred33)
+    from .io.fastq import make_qual_conv
+    qual_conv = make_qual_conv(phred64=args.phred64, solexa=args.solexa,
+                               int_quals=args.int_quals)
 
     out = open(args.S, "w") if args.S else sys.stdout
     out.write(sam_header(idx.ref_names, idx.ref_lens, " ".join(sys.argv),
@@ -108,7 +117,8 @@ def cmd_align(args):
     # extra retention only the FASTQ reader supports
     fastq_kw = dict(fq_kw, keep_comment=args.sam_append_comment,
                     keep_orig=args.passthrough,
-                    qname_trunc=not args.sam_no_qname_trunc)
+                    qname_trunc=not args.sam_no_qname_trunc,
+                    qual_conv=qual_conv)
 
     sam_kw = dict(xeq=args.xeq, append_comment=args.sam_append_comment,
                   show_rand_seed=args.show_rand_seed)
@@ -140,6 +150,7 @@ def cmd_align(args):
                             no_mixed=args.no_mixed,
                             no_discordant=args.no_discordant)
         pal.up.nofw, pal.up.norc = args.nofw, args.norc
+        pal.up.mapq_v = args.mapq_v
         from .io.fastq import prefetch
         it1 = prefetch(iter_fastq(args.m1, **fastq_kw))
         it2 = prefetch(iter_fastq(args.m2, **fastq_kw))
@@ -183,8 +194,10 @@ def cmd_align(args):
         pal = PairedAligner(idx, scoring=sc, policy=pol, pe=pe,
                             no_mixed=args.no_mixed,
                             no_discordant=args.no_discordant)
+        pal.up.mapq_v = args.mapq_v
         for b1, b2 in iter_interleaved(args.interleaved,
-                                       batch_size=args.batch):
+                                       batch_size=args.batch,
+                                       qual_conv=qual_conv):
             pairs = pal.align_batch(b1, b2)
             for r1, r2 in pairs:
                 write_rec(r1)
@@ -218,12 +231,13 @@ def cmd_align(args):
             reads_iter = iter_raw_reads(args.U, batch_size=args.batch)
         elif args.tab_reads:
             reads_iter = (b for b, _ in iter_tab_file(
-                args.U, batch_size=args.batch))
+                args.U, batch_size=args.batch, qual_conv=qual_conv))
         else:
             reads_iter = iter_fastq(args.U, **fastq_kw)
         al = UnpairedAligner(idx, scoring=sc, policy=pol,
                              nofw=args.nofw, norc=args.norc)
         al.qc_filter = args.qc_filter
+        al.mapq_v = args.mapq_v
         if args.dp_log:
             al.dp_log = open(args.dp_log, "w")
         if args.timing:
@@ -265,7 +279,7 @@ def cmd_align(args):
                 if ticker:
                     nb = sum(len(s) for s in recs.batch.raw_seq)
                     ticker.add_batch(len(recs), nb, len(recs), nb, False,
-                                     al_uni=na)
+                                     al_uni=na, **recs.metrics)
                 continue
             for r in recs:
                 if not (args.no_unal and not r.aligned):
@@ -283,7 +297,7 @@ def cmd_align(args):
             if ticker:
                 nb = sum(len(r.orig_seq) for r in prim)
                 ticker.add_batch(len(prim), nb, len(prim), nb, False,
-                                 al_uni=na)
+                                 al_uni=na, **getattr(recs, "metrics", {}))
     dt = time.time() - t0
     if args.timing:
         # ref: timer.h Timer blocks gated by -t/--time
@@ -498,6 +512,26 @@ def main(argv=None):
     pa.add_argument("-p", "--threads", type=int, default=1,
                     help="accepted for compatibility (batching replaces "
                     "thread-level parallelism)")
+    pa.add_argument("--mapq-v", dest="mapq_v", type=int, default=2,
+                    choices=(1, 2, 3),
+                    help="MAPQ calculation version (ref: unique.h:509 "
+                    "new_mapq; default 2)")
+    pa.add_argument("--non-deterministic", dest="non_deterministic",
+                    action="store_true",
+                    help="seed per-read RNG from wall clock instead of "
+                    "read content (ref: bt2_search.cpp:3215)")
+    pa.add_argument("--phred33", "--phred33-quals", action="store_true",
+                    help="input qualities are Phred+33 (default)")
+    pa.add_argument("--phred64", "--phred64-quals", "--solexa1.3-quals",
+                    dest="phred64", action="store_true",
+                    help="input qualities are Phred+64 "
+                    "(ref: qual.h:125)")
+    pa.add_argument("--solexa-quals", dest="solexa", action="store_true",
+                    help="input qualities are Solexa log-odds +64 "
+                    "(ref: qual.h:113, qual.cpp:57 solToPhred)")
+    pa.add_argument("--int-quals", dest="int_quals", action="store_true",
+                    help="input qualities are space-separated integers "
+                    "(ref: qual.h:156 intToPhred33)")
     pa.add_argument("--seed", type=int, default=0,
                     help="global seed mixed into per-read tie-break RNG "
                     "(ref: genRandSeed, pat.cpp:51)")
@@ -559,8 +593,13 @@ def main(argv=None):
     ps.set_defaults(fn=cmd_server)
 
     pc = sub.add_parser("client")
-    pc.add_argument("--host", default="localhost")
-    pc.add_argument("--port", type=int, default=8080)
+    import os as _os
+    pc.add_argument("--host",
+                    default=_os.environ.get("BT2CLT_SERVER_HOST",
+                                            "localhost"))
+    pc.add_argument("--port", type=int,
+                    default=int(_os.environ.get("BT2CLT_SERVER_PORT",
+                                                "8080")))
     pc.add_argument("-x", dest="index", default="index")
     pc.add_argument("-U", dest="U", default=None)
     pc.add_argument("-1", dest="m1", default=None)

@@ -405,6 +405,9 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     # ---- stage 3: seed rounds ----
     round_active = seed_r0_active
     seeds_failed_r0 = jnp.zeros(B, bool)
+    # observability counter (ref: SeedSearchMetrics.seedsearch,
+    # aligner_seed.h:1396): seed lookups actually performed
+    n_seed_ct = jnp.int32(0)
     # a full-read exact copy is in EVERY seed's range, so clipping can hide
     # one only when ALL of a strand's round-0 seed ranges clipped at E
     read_clip = jnp.zeros(B, bool)
@@ -492,6 +495,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                                   + B)[:, None], (B, S_r))]).reshape(-1)
             start, cnt = kmod.lookup_body(dkm, q_hi, q_lo, n_hi,
                                           cfg.bbits, cfg.kmer_steps)
+            n_seed_ct += jnp.sum(val_all.astype(jnp.int32))
             cnt = jnp.where(val_all, cnt, 0)
             hit = val_all & (cnt > 0)
             r_lane.append(lane_all)
@@ -557,6 +561,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
             stop, sbot = dfm.backward_search_body(
                 didx.fw, pat_all, jnp.where(val_all, slen_all, 0),
                 use_ftab=True)
+            n_seed_ct += jnp.sum(val_all.astype(jnp.int32))
             hit = val_all & (stop < sbot)
             r_lane.append(lane_all)
             r_depth.append(dep_all)
@@ -795,9 +800,14 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     best_pack = (((best_ci + 1) << 2)
                  | (jnp.minimum(has_rect, 1) << 1)
                  | seeds_failed_r0.astype(jnp.int32))
+    # observability counters for the --met TSV (ref: bt2_search.cpp:1923):
+    # slot 5 = seed lookups, slot 6 = interior DP problems, slot 7 =
+    # device-certified ungapped winners
     counters = jnp.stack([n_cand, n_elts, cnt_fw, cnt_mr,
-                          n_hit, jnp.int32(0),
-                          jnp.int32(0), jnp.int32(0)])
+                          n_hit, n_seed_ct,
+                          jnp.sum(interior.astype(jnp.int32)),
+                          jnp.sum((interior & ungapped_c)
+                                  .astype(jnp.int32))])
     # row 4: [best_pack : B | sec_score : B]; row 5: [exact_mult : B |
     # pad | counters : last 8] — fits any C_max >= 2B
     row4 = jnp.zeros(Cx, jnp.int32)

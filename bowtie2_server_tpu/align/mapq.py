@@ -108,6 +108,96 @@ def mapq_v2(best: int, secbest: int | None, sc_min: int, sc_per: int,
         return 1 if ge(0.5) else 0
 
 
+# ---------------------------------------------------------------- V1 / V3 -
+
+# V3 decision tables (ref: unique.cpp:26-63 unp_nosec_perf/unp_nosec/
+# unp_sec_perf/unp_sec). Constant tables reproduced verbatim — they ARE the
+# published algorithm (same category as the preset table).
+_V3_NOSEC_PERF = 44
+_V3_NOSEC = (43, 42, 41, 36, 32, 27, 20, 11, 4, 1, 0)
+_V3_SEC_PERF = (2, 16, 23, 30, 31, 32, 34, 36, 38, 40, 42)
+_V3_SEC = (
+    (2, 2, 2, 1, 1, 0, 0, 0, 0, 0, 0),
+    (20, 14, 7, 3, 2, 1, 0, 0, 0, 0, 0),
+    (20, 16, 10, 6, 3, 1, 0, 0, 0, 0, 0),
+    (20, 17, 13, 9, 3, 1, 1, 0, 0, 0, 0),
+    (21, 19, 15, 9, 5, 2, 2, 0, 0, 0, 0),
+    (22, 21, 16, 11, 10, 5, 0, 0, 0, 0, 0),
+    (23, 22, 19, 16, 11, 0, 0, 0, 0, 0, 0),
+    (24, 25, 21, 30, 0, 0, 0, 0, 0, 0, 0),
+    (30, 26, 29, 0, 0, 0, 0, 0, 0, 0, 0),
+    (30, 27, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    (30, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+)
+
+
+def mapq_v3(best: int, secbest: int | None, sc_min: int, sc_per: int,
+            monotone: bool) -> int:
+    """MAPQ V3 (`--mapq-v 3`; ref: unique.h:96 BowtieMapq3::mapq): distance
+    below the perfect score and the best/second-best gap, each binned into
+    11 deciles of the valid score range, index the published tables."""
+    rng = max(1, sc_per - sc_min)
+    below = sc_per - best                      # lower = better
+    best_bin = min(10, int(below * (10.0 / rng) + 0.5))
+    # the reference's "perfect" test is literally `best == scMax`, i.e.
+    # raw score 0 — equivalent to a perfect score only in end-to-end mode
+    # (scMax == 0 there); reproduced verbatim (unique.h:133-155)
+    is_perf = below == sc_per
+    if secbest is not None:
+        diff_bin = min(10, int((best - secbest) * (10.0 / rng) + 0.5))
+        if is_perf:
+            # verbatim: indexed by best_bin (unique.h:146), not diff_bin
+            return _V3_SEC_PERF[best_bin]
+        return _V3_SEC[diff_bin][best_bin]
+    if is_perf:
+        return _V3_NOSEC_PERF
+    return _V3_NOSEC[best_bin]
+
+
+def mapq_v1(best: int, secbest: int | None, sc_min: int, sc_per: int,
+            monotone: bool) -> int:
+    """Legacy MAPQ V1 (`--mapq-v 1`; ref: unique.h:417 BowtieMapq::mapq):
+    thirds of the score range without a second-best, sixths of the
+    best/second-best gap with one. float32 constant semantics preserved."""
+    diff = sc_per - sc_min
+    sixth_2 = float(np.float32(sc_per - diff * float(np.float32(0.1666)) * 2))
+    sixth_3 = float(np.float32(sc_per - diff * float(np.float32(0.1666)) * 3))
+    if secbest is None:
+        if best >= sixth_2:
+            return 37
+        if best >= sixth_3:
+            return 25
+        return 10
+    bestdiff = abs(abs(best) - abs(secbest))
+    for mult, q in ((5, 6), (4, 5), (3, 4), (2, 3), (1, 2)):
+        if bestdiff >= diff * 0.1666 * mult:
+            return q
+    return 1
+
+
+def mapq_fn(version: int):
+    """Per-version scalar MAPQ function (ref: unique.h:509 new_mapq)."""
+    return {1: mapq_v1, 3: mapq_v3}.get(version, mapq_v2)
+
+
+def mapq_batch(version: int, best, secbest, has_sec, sc_min, sc_per,
+               monotone: bool) -> np.ndarray:
+    """Vectorized MAPQ for any version (V2 has a dedicated fast path)."""
+    if version == 2:
+        return mapq_v2_batch(best, secbest, has_sec, sc_min, sc_per,
+                             monotone)
+    fn = mapq_fn(version)
+    best = np.asarray(best)
+    secbest = np.asarray(secbest)
+    has_sec = np.asarray(has_sec, bool)
+    sc_min = np.asarray(sc_min)
+    sc_per = np.asarray(sc_per)
+    return np.array([
+        fn(int(best[i]), int(secbest[i]) if has_sec[i] else None,
+           int(sc_min[i]), int(sc_per[i]), monotone)
+        for i in range(len(best))], np.int64)
+
+
 def mapq_v2_batch(best, secbest, has_sec, sc_min, sc_per,
                   monotone: bool) -> np.ndarray:
     """Vectorized mapq_v2 over arrays (same decision table; ref:

@@ -22,7 +22,7 @@ import numpy as np
 from ..io.fastq import ReadBatch
 from ..ops.sw import NEG_INF, sw_align_batch
 from ..utils.rng import RandomSource, select_by_score_order
-from .mapq import mapq_v2, mapq_v2_batch
+from .mapq import mapq_batch, mapq_fn
 from .pipeline import AlnRec, LazyRecs, SearchPolicy, UnpairedAligner
 
 CONCORDANT, DISCORDANT = 1, 0
@@ -252,8 +252,9 @@ class PairedAligner:
         tot = c1["sc"] + c2["sc"]
         msc = np.asarray(st1.minsc)[w] + np.asarray(st2.minsc)[w]
         per = np.asarray(st1.perfect)[w] + np.asarray(st2.perfect)[w]
-        mapq = mapq_v2_batch(tot, np.zeros_like(tot), np.zeros(n, bool),
-                             msc, per, self.up.sc.monotone)
+        mapq = mapq_batch(self.up.mapq_v, tot, np.zeros_like(tot),
+                          np.zeros(n, bool), msc, per,
+                          self.up.sc.monotone)
         # TLEN over unclipped extents (ungapped: ref span == read length);
         # sign rules mirror _set_mate_fields
         lo = np.minimum(c1["pos"], c2["pos"])
@@ -482,7 +483,8 @@ class PairedAligner:
                 continue
             msc = int(st1.minsc[i]) + int(st2.minsc[i])
             per = int(st1.perfect[i]) + int(st2.perfect[i])
-            mq = mapq_v2(tot, sec, msc, per, self.up.sc.monotone)
+            mq = mapq_fn(self.up.mapq_v)(tot, sec, msc, per,
+                                         self.up.sc.monotone)
             for r, other, m1 in ((r1, r2, True), (r2, r1, False)):
                 r.mapq = mq
                 r.yt = "CP"
@@ -504,8 +506,8 @@ class PairedAligner:
                 # mates share it (ref: unique.h mapq s.paired() branch)
                 msc = int(st1.minsc[i]) + int(st2.minsc[i])
                 per = int(st1.perfect[i]) + int(st2.perfect[i])
-                mq = mapq_v2(r1.score + r2.score, None, msc, per,
-                             self.up.sc.monotone)
+                mq = mapq_fn(self.up.mapq_v)(r1.score + r2.score, None,
+                                             msc, per, self.up.sc.monotone)
                 for r, m1 in ((r1, True), (r2, False)):
                     r.yt = "DP"
                     r.paired = True

@@ -41,12 +41,18 @@ from ..ops.sw_banded import banded_traceback, sw_banded_batch
 # (maxgap <= maxhalf=15) around the anchor diagonal (ref: dp_framer.cpp:95-100
 # frameSeedExtensionRect), so +-32 covers its full reach.
 BAND = 64
+
+# -a sentinel: "report all" (ref: ReportingParams::allHits, aln_sink.h:288
+# khits == max int). Large khits route to the host path with a boosted
+# SA-resolution cap (ref: ReportingParams::mult boosting ROWM/POSF).
+ALL_HITS = 1 << 30
+_RESOLVE_HARD_CAP = 65536   # per-range enumeration bound on the host path
 from ..utils import dna
 from ..utils.scoring import Scoring
 from ..utils.simple_func import SimpleFunc, SQRT
 from .edits import (cigar_md_stats, edits_from_ungapped, ungapped_score,
                     traceback as rect_traceback)
-from .mapq import mapq_v2, mapq_v2_batch
+from .mapq import mapq_batch, mapq_fn
 from ..utils.rng import RandomSource, gen_rand_seed, select_by_score_order
 
 
@@ -65,6 +71,16 @@ class SearchPolicy:
     seed: int = 0           # --seed: global RNG seed (ref: Read::seed mix)
     n_seed_mms: int = 0     # -N: substitutions allowed inside a seed
                             # (ref: aligner_seed.cpp:668 searchSeedBi)
+    non_deterministic: bool = False  # --non-deterministic: per-read seeds
+                            # drawn from a time-seeded stream instead of
+                            # read content (ref: bt2_search.cpp:3215-3218)
+    dp_streak: int = 15     # preset DPS (ref: presets.cpp:26 DPS=, the
+                            # maxDpStreak policy): caps consecutive failed
+                            # extend->commit attempts per read. Our DP is
+                            # batched (no per-extend cost to save), so this
+                            # bounds the sequential retry loop of the
+                            # selection stage — the same worst-case-latency
+                            # role it plays in SwDriver::extendSeeds.
 
 
 @dataclass
@@ -110,6 +126,7 @@ class AlnRec:
     comment: bytes | None = None   # FASTQ header comment (--sam-append-comment)
     orig_rec: bytes | None = None  # original record text (--passthrough)
     yf: str = "NS"                 # filter reason when filtered (YF:Z:)
+    ym: bool = False               # repetitive under -M (YM:i, maxed flag)
 
 
 class ArrayCands:
@@ -286,7 +303,8 @@ class LazyRecs:
     built only for reads something actually touches (slow paths, the
     paired driver, record-by-record SAM emission)."""
 
-    __slots__ = ("batch", "filtered", "qc", "_cache", "soa", "B")
+    __slots__ = ("batch", "filtered", "qc", "_cache", "soa", "B", "ym_mask",
+                 "metrics")
 
     def __init__(self, batch, filtered, qc_fail):
         self.B = len(batch.names)
@@ -295,6 +313,8 @@ class LazyRecs:
         self.qc = qc_fail
         self._cache: dict[int, AlnRec] = {}
         self.soa: FastSoA | None = None
+        self.ym_mask = None   # per-read repetitive flag under -M (YM:i)
+        self.metrics = {}     # per-batch PerfMetrics counters (--met TSV)
 
     def cache_items(self):
         """(i, rec) pairs materialized so far (slow-path records)."""
@@ -322,6 +342,8 @@ class LazyRecs:
                     rec.yf = "QC"
             if self.soa is not None and self.soa.filled[i]:
                 self.soa.fill(rec, i)
+            if self.ym_mask is not None and self.ym_mask[i]:
+                rec.ym = True
             self._cache[i] = rec
         return rec
 
@@ -372,6 +394,7 @@ class UnpairedAligner:
         self.dp_log = None   # file handle: log DP problems (ref: --dp-log)
         self.timing = None   # dict: stage wall-clock accumulation (ref: -t)
         self.qc_filter = False  # --qc-filter: honor qseq QC flags
+        self.mapq_v = 2      # --mapq-v (ref: bt2_search.cpp:513 mapqv=2)
         # fused device pipeline (align/candgen.py) — the fast path
         self.candgen = None
         if self.dev_mirror is not None:
@@ -465,7 +488,10 @@ class UnpairedAligner:
     def collect_async(self, batch: ReadBatch, boost=None, seed_skip=None):
         """Dispatch the device-side search for a batch (non-blocking)."""
         if (self.candgen is None or self.dp_log is not None
-                or self.timing is not None or self.pol.n_seed_mms > 0):
+                or self.timing is not None or self.pol.n_seed_mms > 0
+                or self.pol.khits > self.pol.max_sa_elts):
+            # large -k / -a need more SA elements per range than the fused
+            # shape resolves — run the host path with a boosted cap
             return ("host", batch, boost, seed_skip)
         from .candgen import per_len
         lens = batch.lens
@@ -536,6 +562,34 @@ class UnpairedAligner:
                                       ].astype(np.int32)
                 mats["mm_rc"] = mmtab[np.clip(rc_q, 0, 255)].astype(np.int32)
             return mats
+
+        # -M repetitive flag (ref: ReportingState::areDone counting all
+        # valid alignments, aln_sink.cpp:322-328). Candidate granularity is
+        # (lane, diag) pre-(strand,end) suppression — a slight overcount in
+        # rare multi-diagonal-same-end cases; the reference's own count is
+        # discovery-order-truncated, so exact parity of the flag is
+        # undefined anyway. Not printed in default SAM (print_ym is never
+        # enabled by the reference CLI either, bt2_search.cpp:418).
+        if self.pol.msample and self.pol.mhits > 0 and len(res.c_read):
+            okc = res.c_interior & (
+                res.c_score >= meta["minsc"][res.c_read])
+            cnts = np.bincount(res.c_read[okc], minlength=B)
+            recs.ym_mask = ((cnts > self.pol.mhits)
+                            | (res.exact_mult > self.pol.mhits))
+
+        # --met TSV counters from the device counter row (ref: the
+        # PerfMetrics merge, bt2_search.cpp:3229-3248): SeedSearch = seed
+        # lookups, NRange = hit ranges, NElt = resolved elements, DPEx =
+        # interior banded problems, Ungapped = device-certified winners.
+        ctr = res.counters.sum(axis=0)
+        n_act = int((~filtered).sum())
+        recs.metrics = dict(
+            seed_searches=int(ctr[5]), n_range=int(ctr[4]),
+            n_elt=int(ctr[1]), dp_ex=int(ctr[6]),
+            ungapped_succ=int(ctr[7]),
+            ungapped_fail=max(0, int(ctr[6]) - int(ctr[7])),
+            exact_attempts=2 * n_act,
+            exact_succ=int((res.exact_mult > 0).sum()))
 
         C = len(res.c_read)
         cands = ArrayCands(res.c_read, res.c_fw, res.c_diag)
@@ -660,7 +714,8 @@ class UnpairedAligner:
         NEGH = NEG_INF // 2
         has_sec = res.sec_sc[w] > NEGH
         exact_rule = (~has_sec) & (
-            (st.exact_mult[w] > self.pol.max_sa_elts) | (st.exact_mult[w] > 1))
+            (st.exact_mult[w] > self._resolve_cap())
+            | (st.exact_mult[w] > 1))
 
         # ungapped certification + NM computed ON DEVICE against the
         # gathered band (candgen stage 6) — no reference access here
@@ -669,8 +724,8 @@ class UnpairedAligner:
         ref_id, ref_off, _ = self.idx.joined_to_ref(jp)
         sec_eff = np.where(has_sec, res.sec_sc[w],
                            st.perfect[w]).astype(np.int64)
-        mapqs = mapq_v2_batch(score, sec_eff, has_sec | exact_rule,
-                              st.minsc[w], st.perfect[w], self.sc.monotone)
+        mapqs = mapq_batch(self.mapq_v, score, sec_eff, has_sec | exact_rule,
+                           st.minsc[w], st.perfect[w], self.sc.monotone)
 
         for t in np.nonzero(~ungapped)[0]:
             # rare: gapped or local winner — per-read traceback path
@@ -749,6 +804,17 @@ class UnpairedAligner:
         soa._mm_builder = build_mm
         return soa
 
+    def _resolve_cap(self) -> int:
+        """Effective per-range SA-resolution cap: boosted for large -k / -a
+        so enumeration isn't silently truncated at the fused-path default
+        (ref: ReportingParams::mult boosting ROWM/POSF, aln_sink.h:264-283;
+        the reference's -a is effectively unbounded — we bound host
+        enumeration at _RESOLVE_HARD_CAP per range)."""
+        k = self.pol.khits
+        if k <= self.pol.max_sa_elts:
+            return self.pol.max_sa_elts
+        return int(min(k + 1, _RESOLVE_HARD_CAP))
+
     def _collect_host(self, batch: ReadBatch, boost=None, seed_skip=None):
         """Run all candidate-generation + DP stages; return the per-batch
         state (candidates with scores and finish info) without committing a
@@ -761,6 +827,7 @@ class UnpairedAligner:
         mate of the round, and with halved rounds there is no round 1)."""
         B, L = batch.seqs.shape
         lens = batch.lens
+        rcap = self._resolve_cap()
         fw_seqs, fw_quals = batch.seqs, batch.quals
         rc_seqs, rc_quals = revcomp_batch(fw_seqs, fw_quals, lens)
         mmtab = self.sc.mm_penalties()
@@ -820,8 +887,8 @@ class UnpairedAligner:
         def add_fw_hits(r, top, bot):
             if not len(r):
                 return
-            cnt = np.minimum(bot - top, self.pol.max_sa_elts)
-            offs = dfm.sa_resolve(self.dev, top, cnt, self.pol.max_sa_elts)
+            cnt = np.minimum(bot - top, rcap)
+            offs = dfm.sa_resolve(self.dev, top, cnt, rcap)
             for s in range(len(r)):
                 i, is_fw = (int(r[s]), True) if r[s] < B else \
                     (int(r[s]) - B, False)
@@ -861,9 +928,9 @@ class UnpairedAligner:
                 self.dev_mirror, rev2, lens2, np.zeros(2 * B, np.int64),
                 np.where(act2, lens2 - half2, 0))
             if len(r):
-                cnt = np.minimum(bot - top, self.pol.max_sa_elts)
+                cnt = np.minimum(bot - top, rcap)
                 offs = dfm.sa_resolve(
-                    self.dev_mirror, top, cnt, self.pol.max_sa_elts)
+                    self.dev_mirror, top, cnt, rcap)
                 for s in range(len(r)):
                     i, is_fw = (int(r[s]), True) if r[s] < B else \
                         (int(r[s]) - B, False)
@@ -939,8 +1006,8 @@ class UnpairedAligner:
             seed_reads_a = seed_reads
             slens = np.minimum(Lseed, lens[seed_reads_a]).astype(np.int32)
             top, bot = dfm.backward_search(self.dev, seed_pat, slens)
-            count = np.minimum(bot - top, self.pol.max_sa_elts)
-            offs = dfm.sa_resolve(self.dev, top, count, self.pol.max_sa_elts)
+            count = np.minimum(bot - top, rcap)
+            offs = dfm.sa_resolve(self.dev, top, count, rcap)
             # vectorized candidate extraction: diag = off - depth; negative
             # diagonals (read overhanging the ref start) stay for the
             # rectangle path
@@ -968,9 +1035,8 @@ class UnpairedAligner:
                         his)
                     if not len(r):
                         return
-                    cnt = np.minimum(b1 - t1, self.pol.max_sa_elts)
-                    offs1 = dfm.sa_resolve(dev, t1, cnt,
-                                           self.pol.max_sa_elts)
+                    cnt = np.minimum(b1 - t1, rcap)
+                    offs1 = dfm.sa_resolve(dev, t1, cnt, rcap)
                     ri, ei = np.nonzero(offs1 >= 0)
                     o1 = offs1[ri, ei]
                     rr = r[ri].astype(np.int64)
@@ -1153,7 +1219,13 @@ class UnpairedAligner:
 
     def read_seed(self, st, i) -> int:
         """Per-read 32-bit seed from the read content (ref: pat.cpp:129
-        genRandSeed)."""
+        genRandSeed). With --non-deterministic, an arbitrary stream seeded
+        from wall-clock time (ref: bt2_search.cpp:3215-3218 rndArb)."""
+        if self.pol.non_deterministic:
+            if not hasattr(self, "_rnd_arb"):
+                import time as _t
+                self._rnd_arb = RandomSource(int(_t.time_ns()) & 0xFFFFFFFF)
+            return self._rnd_arb.next_u32()
         rec = st.recs[i]
         li = int(st.lens[i])
         codes = np.minimum(st.fw_seqs[i, :li], 4)
@@ -1210,18 +1282,38 @@ class UnpairedAligner:
         extras = []
         primary_done = False
         k = max(1, self.pol.khits)
+        # -M sampling (ref: aln_sink.cpp:271-277 EXIT_SHORT_CIRCUIT_M):
+        # when more than mhits distinct alignments exist, report exactly 1
+        # — the RNG-sampled best (scored_candidates already shuffles
+        # equal-score streaks with the per-read LCG, matching
+        # selectByScore, aln_sink.cpp:1577-1594) — and flag the read
+        # repetitive (YM:i:1 under print_ym). exact_mult counts exact
+        # copies hidden by range clipping.
+        maxed = (self.pol.msample and self.pol.mhits > 0
+                 and (len(scored) > self.pol.mhits
+                      or st.exact_mult[i] > self.pol.mhits))
+        if maxed:
+            k = 1
+            st.recs[i].ym = True
+        fail_streak = 0
         for rank, (bsc, bci) in enumerate(scored):
+            # preset DPS as a retry-streak cap (see SearchPolicy.dp_streak)
+            if fail_streak > self.pol.dp_streak:
+                break
             sec = None
             if len(scored) > rank + 1:
                 sec = scored[rank + 1][0]
-            elif st.exact_mult[i] > self.pol.max_sa_elts or \
+            elif st.exact_mult[i] > self._resolve_cap() or \
                     (st.exact_mult[i] > 1 and len(scored) == rank + 1):
                 sec = int(st.perfect[i])  # other exact copies exist
             if not primary_done:
                 if self.finish_candidate(st, i, bci, bsc, sec):
                     primary_done = True
+                    fail_streak = 0
                     if k == 1:
                         break
+                else:
+                    fail_streak += 1
                 continue
             if len(extras) + 1 >= k:
                 break
@@ -1233,6 +1325,9 @@ class UnpairedAligner:
                 rec.secondary = True
                 rec.mapq = 255
                 extras.append(rec)
+                fail_streak = 0
+            else:
+                fail_streak += 1
         return extras
 
     @staticmethod
@@ -1287,7 +1382,7 @@ class UnpairedAligner:
         rec.nm, rec.xm, rec.xo, rec.xg = (
             stats["nm"], stats["xm"], stats["xo"], stats["xg"])
         rec.xn = xn
-        rec.mapq = mapq_v2(bsc, sec, msc, per, self.sc.monotone)
+        rec.mapq = mapq_fn(self.mapq_v)(bsc, sec, msc, per, self.sc.monotone)
         if rec.fw:
             rec.seq, rec.qual = rec.orig_seq, rec.orig_qual
         else:

@@ -36,6 +36,42 @@ class ReadBatch:
         return len(self.names)
 
 
+# Solexa(log-odds)->Phred table for --solexa-quals (ref: qual.cpp:57
+# solToPhred; derived here as round(10*log10(1+10^(sol/10))) which
+# reproduces the reference table exactly over its domain [-10, 255]).
+_SOL_TO_PHRED = np.round(
+    10.0 * np.log10(1.0 + 10.0 ** (np.arange(-10, 256) / 10.0))
+).astype(np.int32)
+
+
+def make_qual_conv(phred64: bool = False, solexa: bool = False,
+                   int_quals: bool = False):
+    """bytes->bytes quality converter to Phred+33 ASCII (ref: qual.h:105
+    charToPhred33, :156 intToPhred33). Conversion happens at parse time so
+    SAM QUAL output and the device quality matrix both see Phred+33.
+    Returns None for the identity (plain Phred+33) case."""
+    if int_quals:
+        def conv(q: bytes) -> bytes:
+            if not q:
+                return q
+            vals = [int(t) for t in q.split()]
+            if solexa:
+                vals = [int(_SOL_TO_PHRED[min(max(v, -10), 255) + 10])
+                        for v in vals]
+            return bytes(min(v, 93) + 33 for v in vals)
+        return conv
+    if solexa:
+        def conv(q: bytes) -> bytes:
+            return bytes(int(_SOL_TO_PHRED[min(max(c - 64, -10), 255) + 10])
+                         + 33 for c in q)
+        return conv
+    if phred64:
+        def conv(q: bytes) -> bytes:
+            return bytes(max(c - 31, 33) for c in q)
+        return conv
+    return None
+
+
 def _open_maybe_compressed(path):
     """Auto-detect gzip/zstd/bz2 by magic bytes (ref: pat.h:510-548 gzip
     and zstd auto-detection)."""
@@ -60,7 +96,8 @@ def _open_maybe_compressed(path):
 def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000,
                trim5: int = 0, trim3: int = 0, skip: int = 0,
                upto: int | None = None, keep_comment: bool = False,
-               keep_orig: bool = False, qname_trunc: bool = True):
+               keep_orig: bool = False, qname_trunc: bool = True,
+               qual_conv=None):
     """Yield ReadBatch objects from a FASTQ file (optionally gzipped).
     trim5/trim3: -5/-3 base trimming; skip/upto: -s/-u read windowing
     (ref: bt2_search.cpp gTrim5/gTrim3, skipReads/qUpto).
@@ -103,6 +140,8 @@ def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000,
                 if isinstance(pl, str):
                     pl = pl.encode()
                 origs.append(h + b"\n" + seq + b"\n" + pl + b"\n" + qual)
+            if qual_conv is not None:
+                qual = qual_conv(qual)
             if trim5 or trim3:
                 end = len(seq) - trim3
                 seq = seq[trim5:end]
@@ -150,7 +189,8 @@ def make_batch(names, seqs, quals, comments=None, origs=None) -> ReadBatch:
                      comments=comments, origs=origs)
 
 
-def iter_tab6(lines_iter, batch_size: int = 4096):
+def iter_tab6(lines_iter, batch_size: int = 4096,
+              qual_conv=None):
     """Parse tab6/tab5 lines: name\tseq\tqual[\tname2\tseq2\tqual2]
     (ref: pat.h:843 TabbedPatternSource). Yields (batch1, batch2|None)."""
     n1, s1, q1 = [], [], []
@@ -163,6 +203,10 @@ def iter_tab6(lines_iter, batch_size: int = 4096):
         if not line:
             continue
         parts = line.split(b"\t")
+        if qual_conv is not None:
+            for qi in (2, 5):
+                if len(parts) > qi:
+                    parts[qi] = qual_conv(parts[qi])
         n1.append(parts[0].decode())
         s1.append(parts[1])
         q1.append(parts[2] if len(parts) > 2 else b"")
@@ -346,14 +390,14 @@ def iter_cmdline_reads(csv: str, batch_size: int = 4096, **kw):
                          quals[i:i+batch_size])
 
 
-def iter_tab_file(path, batch_size: int = 4096, **kw):
+def iter_tab_file(path, batch_size: int = 4096, qual_conv=None, **kw):
     """tab5/tab6 file input (--tab5/--tab6; ref: pat.h:843)."""
     f = _open_maybe_compressed(path)
     with f:
-        yield from iter_tab6(f, batch_size=batch_size)
+        yield from iter_tab6(f, batch_size=batch_size, qual_conv=qual_conv)
 
 
-def iter_interleaved(path, batch_size: int = 4096, **kw):
+def iter_interleaved(path, batch_size: int = 4096, qual_conv=None, **kw):
     """Interleaved paired FASTQ (--interleaved; ref: pat.cpp composer).
     Yields (batch1, batch2) pairs."""
     n1, s1, q1, n2, s2, q2 = [], [], [], [], [], []
@@ -371,6 +415,8 @@ def iter_interleaved(path, batch_size: int = 4096, **kw):
             seq = f.readline().strip()
             f.readline()
             qual = f.readline().strip()
+            if qual_conv is not None:
+                qual = qual_conv(qual)
             name = h[1:].split()[0].decode()
             if name.endswith("/1") or name.endswith("/2"):
                 name = name[:-2]

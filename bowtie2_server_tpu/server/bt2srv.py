@@ -69,7 +69,7 @@ class Bt2Server:
             p + b"Index-Name: " + self.index_name.encode() + b"\r\n",
             p + b"Seed-Len: %d\r\n" % self.pol.seed_len,
             p + b"Seed-Rounds: %d\r\n" % self.pol.n_seed_rounds,
-            p + b"Max-DP-Streak: 15\r\n",
+            p + b"Max-DP-Streak: %d\r\n" % self.pol.dp_streak,
             p + b"KHits: %d\r\n" % self.pol.khits,
         ])
 

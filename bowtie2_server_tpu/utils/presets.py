@@ -35,7 +35,7 @@ def preset_params(name: str, local: bool):
         raise ValueError(f"unknown preset {name}")
     seed_len, rounds, dps, ival = _PRESETS[name]
     sc = Scoring.default_local() if local else Scoring.default_e2e()
-    pol = dict(seed_len=seed_len, n_seed_rounds=rounds,
+    pol = dict(seed_len=seed_len, n_seed_rounds=rounds, dp_streak=dps,
                interval=SimpleFunc.parse(ival))
     return sc, pol
 
@@ -52,6 +52,8 @@ def apply_policy_string(policy: str, sc: Scoring, pol: dict):
         key = key.upper()
         if key == "SEEDLEN":
             pol["seed_len"] = int(val)
+        elif key == "DPS":
+            pol["dp_streak"] = int(val)
         elif key == "IVAL":
             pol["interval"] = SimpleFunc.parse(val)
         elif key == "ROUNDS":

@@ -82,3 +82,35 @@ def test_mapq_batch_matches_scalar():
                             np.ones(len(bests), bool), sc_min2, sc_per2,
                             monotone)
         assert got.tolist() == want
+
+
+def test_mapq_v3_table_spots():
+    from bowtie2_server_tpu.align.mapq import mapq_v3
+    # e2e 100bp: scMin=-60, scPer=0 (ref: unique.h:96 BowtieMapq3)
+    assert mapq_v3(0, None, -60, 0, True) == 44      # unp_nosec_perf
+    assert mapq_v3(-6, None, -60, 0, True) == 42     # bin 1 -> unp_nosec[1]
+    assert mapq_v3(-33, None, -60, 0, True) == 20    # bin 6 -> unp_nosec[6]
+    # perfect + secbest: unp_sec_perf[best_bin=0] = 2 (verbatim quirk:
+    # unique.h:146 indexes the perf table by best_bin, which is 0 for a
+    # perfect e2e score)
+    assert mapq_v3(0, -60, -60, 0, True) == 2
+    assert mapq_v3(-6, -12, -60, 0, True) == 14      # unp_sec[1][1]
+
+
+def test_mapq_v1_table_spots():
+    from bowtie2_server_tpu.align.mapq import mapq_v1
+    assert mapq_v1(0, None, -60, 0, True) == 37      # top third
+    assert mapq_v1(-25, None, -60, 0, True) == 25    # top half
+    assert mapq_v1(-35, None, -60, 0, True) == 10
+    assert mapq_v1(0, -60, -60, 0, True) == 6        # bestdiff 60 >= 49.98
+    assert mapq_v1(0, 0, -60, 0, True) == 1
+
+
+def test_mapq_batch_dispatch():
+    import numpy as np
+    from bowtie2_server_tpu.align.mapq import mapq_batch
+    best = np.array([0, -6]); sec = np.array([0, -12])
+    has = np.array([False, True])
+    lo = np.array([-60, -60]); hi = np.array([0, 0])
+    assert list(mapq_batch(3, best, sec, has, lo, hi, True)) == [44, 14]
+    assert list(mapq_batch(1, best, sec, has, lo, hi, True)) == [37, 2]
