@@ -97,6 +97,11 @@ class CandGenCfg(NamedTuple):
     static_len: int = 0         # the uniform read length when sched is set
     raw_len: int = 0            # >0: packed2 is raw [2, B, raw_len]
                                 # (seqs, quals); encode/align on device
+    big: bool = False           # big-index mode: uint32 rows + sampled-SA
+                                # walk-left resolve + biased diagonals
+                                # (ref: the -l / .bt2l build line,
+                                # btypes.h TIndexOffU, Makefile:239-246)
+    off_rate: int = 0           # SA sampling exponent when big
 
 
 class DeviceIndex(NamedTuple):
@@ -122,13 +127,17 @@ def _pack_joined_words(joined: np.ndarray) -> np.ndarray:
     return words.reshape(-1, 8)
 
 
-def make_device_index(idx, device=None) -> DeviceIndex:
+def make_device_index(idx, device=None, big: bool | None = None
+                      ) -> DeviceIndex:
     put = lambda x: jax.device_put(x, device)
-    run_starts = idx.run_joined_start.astype(np.int32)
-    run_ends = np.append(idx.run_joined_start[1:], idx.n).astype(np.int32)
+    if big is None:
+        big = idx.n >= dfm.BIG_THRESHOLD
+    rdt = np.uint32 if big else np.int32
+    run_starts = idx.run_joined_start.astype(rdt)
+    run_ends = np.append(idx.run_joined_start[1:], idx.n).astype(rdt)
     return DeviceIndex(
-        fw=dfm.to_device(idx.fw, device),
-        mirror=dfm.to_device(idx.mirror, device),
+        fw=dfm.to_device(idx.fw, device, big=big),
+        mirror=dfm.to_device(idx.mirror, device, big=big),
         joined=put(idx.joined),
         joined_words=put(_pack_joined_words(idx.joined)),
         run_starts=put(run_starts),
@@ -233,6 +242,13 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     B, L, E = cfg.B, cfg.L, cfg.E
     # joined TEXT length (the BWT has one more row than the text)
     n_text = didx.joined.shape[0]
+    # Big-index mode: every row/offset value is uint32 and diagonals carry
+    # a static +BIAS so they stay non-negative (diag = off - depth can be
+    # slightly negative; JAX truncates mixed int32/uint32 ops with x64
+    # off, so the whole diagonal pipeline stays in one unsigned dtype).
+    rdt = jnp.uint32 if cfg.big else jnp.int32
+    BIAS = (cfg.L + cfg.K) if cfg.big else 0
+    BIAS_u = jnp.asarray(BIAS, rdt)
 
     # ---- unpack the transfer-packed batch ----
     m0 = meta[:, 0]
@@ -339,23 +355,27 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                 carry[3], bot, step + 1, 1)
             return top, bot, tops, bots
 
-        top0 = jnp.zeros(2 * B, jnp.int32)
-        bot0 = jnp.broadcast_to(didx.fw.n.astype(jnp.int32), (2 * B,))
+        top0 = jnp.zeros(2 * B, rdt)
+        bot0 = jnp.broadcast_to(didx.fw.n, (2 * B,))
         lane_i = jnp.arange(2 * B)
-        tops = jnp.zeros((2 * B, L + 1), jnp.int32).at[:, 0].set(top0)
-        bots = jnp.zeros((2 * B, L + 1), jnp.int32).at[:, 0].set(bot0)
+        tops = jnp.zeros((2 * B, L + 1), rdt).at[:, 0].set(top0)
+        bots = jnp.zeros((2 * B, L + 1), rdt).at[:, 0].set(bot0)
         _, _, tops, bots = jax.lax.fori_loop(0, L, rec_body,
                                              (top0, bot0, tops, bots))
         et = tops[lane_i, jnp.clip(lens2, 0, L)]
         eb = bots[lane_i, jnp.clip(lens2, 0, L)]
         exact_ok = act2 & (et < eb)
-        exact_cnt = jnp.where(exact_ok, eb - et, 0).astype(jnp.uint32)
+        exact_cnt = jnp.minimum(
+            jnp.where(exact_ok, eb - et, jnp.zeros((), rdt)).astype(
+                jnp.uint32), jnp.uint32(1 << 30))
         exact_mult = jnp.minimum(exact_cnt[:B] + exact_cnt[B:],
                                  jnp.uint32(1 << 30)).astype(jnp.int32)
         r_lane.append(lane_i)
         r_depth.append(jnp.zeros(2 * B, jnp.int32))
         r_top.append(et)
-        r_cnt.append(jnp.minimum(jnp.where(exact_ok, eb - et, 0), E))
+        r_cnt.append(jnp.minimum(
+            jnp.where(exact_ok, eb - et, jnp.zeros((), rdt)),
+            jnp.asarray(E, rdt)).astype(jnp.int32))
         r_src.append(jnp.zeros(2 * B, jnp.int32))
 
     # ---- stage 2: substitution branches ----
@@ -377,9 +397,8 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                 cb, cm, pos, top, bot, count = dfm.one_mm_phase0_body(
                     fm, pat, lens2, hi, tops_, bots_,
                     c * cfg.chunk_w, cfg.chunk_w, cfg.k1)
-                st = dfm.one_mm_phase1_body(fm, pat, cb, pos, top, bot,
-                                            L // 2 + 2)
-                posf, topf, botf = st[0], st[1], st[2]
+                posf, topf, botf = dfm.one_mm_phase1_body(
+                    fm, pat, cb, pos, top, bot, L // 2 + 2)
                 ok = (cb >= 0) & (posf < 0) & (topf < botf)
                 outs.append((cb, topf, botf, ok))
                 max_cnt = jnp.maximum(max_cnt, count)
@@ -399,7 +418,9 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                 r_lane.append(jnp.clip(cb, 0, 2 * B - 1))
                 r_depth.append(jnp.zeros(cfg.k1, jnp.int32))
                 r_top.append(topf)
-                r_cnt.append(jnp.minimum(jnp.where(ok, botf - topf, 0), E))
+                r_cnt.append(jnp.minimum(
+                    jnp.where(ok, botf - topf, jnp.zeros((), rdt)),
+                    jnp.asarray(E, rdt)).astype(jnp.int32))
                 r_src.append(jnp.full(cfg.k1, 1 if is_m else 0, jnp.int32))
 
     # ---- stage 3: seed rounds ----
@@ -563,10 +584,14 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                 use_ftab=True)
             n_seed_ct += jnp.sum(val_all.astype(jnp.int32))
             hit = val_all & (stop < sbot)
+            zero_r = jnp.zeros((), rdt)
+            hits_n = jnp.minimum(jnp.where(hit, sbot - stop, zero_r),
+                                 jnp.asarray(1 << 20, rdt))
             r_lane.append(lane_all)
             r_depth.append(dep_all)
             r_top.append(stop)
-            r_cnt.append(jnp.minimum(jnp.where(hit, sbot - stop, 0), E))
+            r_cnt.append(jnp.minimum(hits_n,
+                                     jnp.asarray(E, rdt)).astype(jnp.int32))
             r_src.append(jnp.zeros(lane_all.shape[0], jnp.int32))
 
             read_of = lane_all % B
@@ -574,9 +599,8 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                                        num_segments=B)
             nonz = jax.ops.segment_sum(hit.astype(jnp.int32), read_of,
                                        num_segments=B)
-            tot = jax.ops.segment_sum(
-                jnp.where(hit, sbot - stop, 0).astype(jnp.int32), read_of,
-                num_segments=B)
+            tot = jax.ops.segment_sum(hits_n.astype(jnp.int32), read_of,
+                                      num_segments=B)
             if r == 0:
                 seeds_failed_r0 = seed_r0_active & ((inst == 0) | (nonz == 0))
             round_active = round_active & (inst > 0) & (nonz > 0) & \
@@ -589,7 +613,10 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     # of NR*E — the dominant cumsum shrinks ~4x).
     r_lane = jnp.concatenate(r_lane).astype(jnp.int32)
     r_depth = jnp.concatenate(r_depth).astype(jnp.int32)
-    r_top = jnp.concatenate(r_top).astype(jnp.int32)
+    # rows bitcast int32 for the packed row-gather matrix (big mode: the
+    # uint32 bit pattern rides through the int32 pack losslessly)
+    r_top = jax.lax.bitcast_convert_type(
+        jnp.concatenate(r_top).astype(rdt), jnp.int32)
     r_cnt = jnp.concatenate(r_cnt).astype(jnp.int32)
     r_src = jnp.concatenate(r_src)
     NR = r_lane.shape[0]
@@ -626,9 +653,29 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     e_mat = h_mat[ridx]                                    # [C_pre, 4]
     lane = e_mat[:, 0]
     e_depth = e_mat[:, 1]
-    row = e_mat[:, 2] + (sel % E).astype(jnp.int32)
+    row = (jax.lax.bitcast_convert_type(e_mat[:, 2], rdt)
+           + (sel % E).astype(rdt))
     n_keys = dkm.pos.shape[0]
-    if cfg.has_short:
+    if cfg.big:
+        # sampled-SA walk-left resolution, one pass per direction (ref:
+        # walkLeft/getOffset, bt2_idx.h:1607; group_walk.h's laziness is
+        # replaced by a fixed 2^off_rate-step masked loop)
+        src = e_mat[:, 3] >> 16
+        read = lane % B
+        rl = lens[read].astype(rdt)
+        row_c = jnp.minimum(row, didx.fw.n - 1)
+        off_fw = dfm.resolve_rows_body(
+            didx.fw, row_c, ~pad & (src == 0), cfg.off_rate)
+        off_mr = dfm.resolve_rows_body(
+            didx.mirror, jnp.minimum(row, didx.mirror.n - 1),
+            ~pad & (src == 1), cfg.off_rate)
+        off = jnp.where(src == 1, off_mr, off_fw)
+        n_text_u = jnp.asarray(n_text, rdt)
+        diag = jnp.where(src == 1,
+                         (n_text_u + BIAS_u) - off - rl,
+                         off + BIAS_u - e_depth.astype(rdt))
+        e_ok = ~pad & (diag + rl > BIAS_u)    # biased form of diag > -rl
+    elif cfg.has_short:
         src = e_mat[:, 3] >> 16
         read = lane % B
         rl = lens[read]
@@ -654,7 +701,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     key_diag = diag
     s_lane, s_diag = jax.lax.sort((key_lane, key_diag), num_keys=2)
     prev_lane = jnp.concatenate([jnp.array([-1], jnp.int32), s_lane[:-1]])
-    prev_diag = jnp.concatenate([jnp.array([0], jnp.int32), s_diag[:-1]])
+    prev_diag = jnp.concatenate([jnp.zeros(1, s_diag.dtype), s_diag[:-1]])
     uniq = (s_lane < (1 << 30)) & ((s_lane != prev_lane)
                                    | (s_diag != prev_diag))
     n_cand = jnp.sum(uniq.astype(jnp.int32))
@@ -662,7 +709,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     cpad = csel >= cfg.C_pre
     cselc = jnp.clip(csel, 0, cfg.C_pre - 1)
     c_lane = jnp.where(cpad, 0, s_lane[cselc])
-    c_diag = jnp.where(cpad, 0, s_diag[cselc])
+    c_diag = jnp.where(cpad, jnp.zeros((), s_diag.dtype), s_diag[cselc])
     c_valid = ~cpad
     if cfg.engine == "cut_dedup":
         return _cut(c_lane, c_diag, c_valid, n_cand)
@@ -672,14 +719,27 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     c_read = c_lane % B
     c_fw = c_lane < B
     c_rl = lens[c_read]
-    ws = c_diag - K // 2
-    run_i = jnp.clip(
-        jnp.searchsorted(didx.run_starts, jnp.maximum(c_diag, 0),
-                         side="right") - 1,
-        0, didx.run_starts.shape[0] - 1)
-    lo = didx.run_starts[run_i]
-    hi_run = didx.run_ends[run_i]
-    interior = c_valid & (ws >= lo) & (ws + c_rl + K <= hi_run)
+    if cfg.big:
+        # biased unsigned geometry: run bounds shifted by the same BIAS
+        ws = c_diag - jnp.asarray(K // 2, rdt)
+        rs_b = didx.run_starts + BIAS_u
+        re_b = didx.run_ends + BIAS_u
+        run_i = jnp.clip(
+            jnp.searchsorted(rs_b, c_diag, side="right") - 1,
+            0, rs_b.shape[0] - 1)
+        lo = rs_b[run_i]
+        hi_run = re_b[run_i]
+        interior = c_valid & (ws >= lo) & \
+            (ws + c_rl.astype(rdt) + jnp.asarray(K, rdt) <= hi_run)
+    else:
+        ws = c_diag - K // 2
+        run_i = jnp.clip(
+            jnp.searchsorted(didx.run_starts, jnp.maximum(c_diag, 0),
+                             side="right") - 1,
+            0, didx.run_starts.shape[0] - 1)
+        lo = didx.run_starts[run_i]
+        hi_run = didx.run_ends[run_i]
+        interior = c_valid & (ws >= lo) & (ws + c_rl + K <= hi_run)
 
     Cx = cfg.C_max
     W = L + K
@@ -690,13 +750,18 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     nw = W // 16 + 2
     n_rows = didx.joined_words.shape[0]
     nrow_g = -(-(nw + 7) // 8)   # rows to cover word offset 7 + nw words
-    wsc = jnp.clip(ws, 0, jnp.maximum(n_text - 1, 1))
+    if cfg.big:
+        wsc = jnp.clip(ws, BIAS_u,
+                       jnp.asarray(max(n_text - 1, 1) + BIAS, rdt)) - BIAS_u
+    else:
+        wsc = jnp.clip(ws, 0, jnp.maximum(n_text - 1, 1))
     r0 = wsc >> 7
-    woff = (wsc >> 4) & 7
-    sh = wsc & 15
+    woff = ((wsc >> 4) & 7).astype(jnp.int32)
+    sh = (wsc & 15).astype(jnp.int32)
     rgat = didx.joined_words[
-        jnp.clip(r0[:, None] + jnp.arange(nrow_g, dtype=jnp.int32)[None, :],
-                 0, n_rows - 1)]                        # [C, nrow_g, 8]
+        jnp.clip(r0[:, None] + jnp.arange(nrow_g, dtype=rdt)[None, :],
+                 jnp.zeros((), rdt), jnp.asarray(n_rows - 1, rdt))]
+    # [C, nrow_g, 8]
     words = rgat.reshape(Cx, nrow_g * 8)                # [C, 8*nrow_g]
     wwin = jnp.zeros((Cx, nw), jnp.uint32)
     for t in range(8):
@@ -728,7 +793,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     else:
         best, bi, bk = _banded_tile_xla(cfg.sw, K, rd_t, mm_t,
                                         lens_c.astype(jnp.int32), band_t)
-    c_end = ws + bi + bk
+    c_end = ws + bi.astype(rdt) + bk.astype(rdt)
     c_score = jnp.where(interior, best, jnp.int32(NEG_INF))
 
     # center-diagonal ungapped stats (ref: SwAligner::ungappedAlign's
@@ -763,9 +828,16 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     sc = jnp.where(sel_ok, c_score, NEG)
     best_sc = _seg_max(sc, c_read, B)
     is_bs = sel_ok & (c_score == best_sc[c_read])
-    ndiag = jnp.where(is_bs, -c_diag, jnp.int32(-(1 << 30)))
-    best_nd = _seg_max(ndiag, c_read, B)
-    is_bd = is_bs & (-c_diag == best_nd[c_read])
+    if cfg.big:
+        # leftmost diagonal via bitwise complement (monotone decreasing
+        # over uint32 — the unsigned analog of negation)
+        inv_diag = jnp.where(is_bs, ~c_diag, jnp.zeros((), rdt))
+        best_nd = _seg_max(inv_diag.astype(jnp.uint32), c_read, B)
+        is_bd = is_bs & (~c_diag == best_nd[c_read])
+    else:
+        ndiag = jnp.where(is_bs, -c_diag, jnp.int32(-(1 << 30)))
+        best_nd = _seg_max(ndiag, c_read, B)
+        is_bd = is_bs & (-c_diag == best_nd[c_read])
     fwi = jnp.where(is_bd, c_fw.astype(jnp.int32), -1)
     best_fwi = _seg_max(fwi, c_read, B)
     is_bf = is_bd & (c_fw.astype(jnp.int32) == best_fwi[c_read])
@@ -817,7 +889,11 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     row5 = jnp.zeros(Cx, jnp.int32)
     row5 = jax.lax.dynamic_update_slice(row5, exact_mult, (0,))
     row5 = jax.lax.dynamic_update_slice(row5, counters, (Cx - 8,))
-    out = jnp.stack([row0, c_diag, c_score, row3, row4, row5, row6])
+    # big mode: the biased uint32 diagonal bitcasts through the int32 pack
+    # (host decode: .view(uint32) - BIAS, BatchResult)
+    row1 = (jax.lax.bitcast_convert_type(c_diag, jnp.int32)
+            if cfg.big else c_diag)
+    out = jnp.stack([row0, row1, c_score, row3, row4, row5, row6])
     return out
 
 
@@ -903,7 +979,12 @@ class BatchResult:
         self.c_read = reads[keep]
         self.c_fw = ((row0 >> 2) & 1).astype(bool)[keep]
         self.c_interior = ((row0 >> 1) & 1).astype(bool)[keep]
-        self.c_diag = out[1][keep]
+        if cfg.big:
+            # biased uint32 diagonal bitcast through the int32 pack
+            self.c_diag = (out[1][keep].view(np.uint32).astype(np.int64)
+                           - (cfg.L + cfg.K))
+        else:
+            self.c_diag = out[1][keep]
         self.c_score = out[2][keep]
         self.c_bi = (out[3] >> 8)[keep]
         self.c_bk = (out[3] & 255)[keep]
@@ -939,14 +1020,17 @@ class CandGen:
                  K: int, device=None, mesh=None):
         self.mesh = mesh
         self._device = device
+        self.big = dev_fw.off_rate > 0
+        self.off_rate = dev_fw.off_rate
+        rdt = np.uint32 if self.big else np.int32
         put = lambda x: jax.device_put(x, device)
         self.didx = DeviceIndex(
             fw=dev_fw, mirror=dev_mirror,
             joined=put(idx.joined),
             joined_words=put(_pack_joined_words(idx.joined)),
-            run_starts=put(idx.run_joined_start.astype(np.int32)),
+            run_starts=put(idx.run_joined_start.astype(rdt)),
             run_ends=put(np.append(idx.run_joined_start[1:],
-                                   idx.n).astype(np.int32)))
+                                   idx.n).astype(rdt)))
         self._joined_host = idx.joined
         self.pol = pol
         self.sw_cfg = sw_cfg
@@ -964,10 +1048,16 @@ class CandGen:
         return self._mmtab_dev
 
     def _kmer(self, seed_len: int):
-        """(DeviceKmer, host KmerTable) for this seed length, cached."""
+        """(DeviceKmer, host KmerTable) for this seed length, cached.
+
+        Big mode never uses the k-mer position table (4 B/bp doesn't fit
+        HBM next to the index — seeds go through the FM general shape),
+        so it gets a tiny dummy that satisfies the pytree signature."""
         hit = self._ktabs.get(seed_len)
         if hit is None:
-            tab = kmod.build_kmer_table(self._joined_host, seed_len)
+            src = (self._joined_host if not self.big
+                   else np.zeros(seed_len + 1, np.uint8))
+            tab = kmod.build_kmer_table(src, seed_len)
             dkm = kmod.to_device(tab, self._device)
             hit = (dkm, tab)
             self._ktabs[seed_len] = hit
@@ -1013,6 +1103,9 @@ class CandGen:
                                           | (nseeds_ub < cover + 1))))
         dkm, ktab = self._kmer(pol.seed_len)
         if len(self._joined_host) < pol.seed_len:
+            has_short = True
+        if self.big:
+            # big mode runs the FM general shape (no k-mer table in HBM)
             has_short = True
 
         lens_u = np.unique(lens_i[:B0]) if B0 else lens_i[:0]
@@ -1095,7 +1188,8 @@ class CandGen:
             has_short=has_short, kmer_steps=ktab.search_steps,
             n_hi=ktab.n_hi, n_lo=ktab.n_lo, bbits=ktab.bbits,
             mmtab_t=tuple(int(x) for x in np.asarray(mmtab[:64])),
-            sched=sched, static_len=static_len, raw_len=raw_len)
+            sched=sched, static_len=static_len, raw_len=raw_len,
+            big=self.big, off_rate=self.off_rate)
         args = (jnp.asarray(packed), jnp.asarray(meta), self._mmtab(mmtab))
         if self.mesh is not None:
             out = _sharded_pipeline(cfg, self.mesh)(self.didx, dkm, *args)

@@ -373,15 +373,24 @@ def revcomp_batch(seqs, quals, lens):
 class UnpairedAligner:
     def __init__(self, index: FmIndex, scoring: Scoring | None = None,
                  policy: SearchPolicy | None = None, engine: str = "auto",
-                 nofw: bool = False, norc: bool = False, mesh=None):
+                 nofw: bool = False, norc: bool = False, mesh=None,
+                 force_big: bool | None = None):
+        """force_big=True runs the big-index (uint32-row, sampled-SA) device
+        path even on a small genome — the big path's correctness oracle is
+        the small path on the same index (tests/test_big_index.py). By
+        default, genomes past dfm.BIG_THRESHOLD (~2.1 Gbp) switch
+        automatically (ref: the wrapper's small/large index auto-pick,
+        bowtie2-server:448-470)."""
         self.nofw = nofw
         self.norc = norc
         self.idx = index
         self.sc = scoring or Scoring.default_e2e()
         self.pol = policy or SearchPolicy()
         self.engine = engine
-        self.dev = dfm.to_device(index.fw)
-        self.dev_mirror = (dfm.to_device(index.mirror)
+        self.big = (index.n + 1 >= dfm.BIG_THRESHOLD if force_big is None
+                    else bool(force_big))
+        self.dev = dfm.to_device(index.fw, big=self.big)
+        self.dev_mirror = (dfm.to_device(index.mirror, big=self.big)
                           if index.mirror is not None else None)
         # run boundaries in joined space for window clipping
         self._run_starts = index.run_joined_start
@@ -492,6 +501,12 @@ class UnpairedAligner:
                 or self.pol.khits > self.pol.max_sa_elts):
             # large -k / -a need more SA elements per range than the fused
             # shape resolves — run the host path with a boosted cap
+            if self.big:
+                raise NotImplementedError(
+                    "big-index mode supports only the fused device path "
+                    "(the host fallback needs the full SA on device); "
+                    "-N 1 / --dp-log / -t / large -k are small-index-only "
+                    "for now")
             return ("host", batch, boost, seed_skip)
         from .candgen import per_len
         lens = batch.lens
@@ -535,7 +550,22 @@ class UnpairedAligner:
                 size_mult=4)
             res = self.candgen.fetch(h2)
             if res.overflow:
-                return self._collect_host(batch, boost, seed_skip)
+                if self.big:
+                    # one more escalation; the host path has no big-index
+                    # resolve (full SA lives off-device)
+                    h3 = self.candgen.dispatch(
+                        batch.seqs, batch.quals, meta["lens"],
+                        active & (not self.nofw), active & (not self.norc),
+                        meta["minsc"], self.sc.mm_penalties(),
+                        perfect=meta["perfect"], boost=boost,
+                        seed_skip=seed_skip, size_mult=16)
+                    res = self.candgen.fetch(h3)
+                    if res.overflow:
+                        raise RuntimeError(
+                            "big-index candidate capacity exceeded at "
+                            "16x; raise size_mult or batch smaller")
+                else:
+                    return self._collect_host(batch, boost, seed_skip)
         return self._build_state(batch, res, meta)
 
     def _build_state(self, batch: ReadBatch, res, meta):

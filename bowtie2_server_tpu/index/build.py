@@ -92,50 +92,80 @@ def _build_direction(text: np.ndarray, sa: np.ndarray) -> FmDirection:
     """Build one direction's FM arrays in standard (n+1)-row space: row 0 is
     the empty ($) suffix whose BWT char is the last text char; the row whose
     suffix starts at text position 0 holds a counted-as-nothing hole (code 4).
-    C[c] = 1 + #{text chars < c} accounts for the $ row sorting first."""
+    C[c] = 1 + #{text chars < c} accounts for the $ row sorting first.
+
+    Everything is chunked so peak memory stays O(n) bytes beyond the SA
+    itself — multi-Gbp (.bt2l-scale) builds would otherwise allocate
+    several 8·n temporaries (the reference bounds build memory the same
+    way via the blockwise sort, blockwise_sa.h:79)."""
     n = len(text)
     n_rows = n + 1
     dtype = np.uint32 if n_rows < (1 << 32) else np.uint64
+    CH = 1 << 26
     bwt = np.empty(n_rows, dtype=np.uint8)
     bwt[0] = text[n - 1]
-    bwt[1:] = np.where(sa > 0, text[(sa - 1) % max(n, 1)], 4).astype(np.uint8)
-    primary = 1 + int(np.nonzero(sa == 0)[0][0])
+    primary = 0
+    for lo in range(0, n, CH):
+        seg = sa[lo : lo + CH]
+        prev = seg - 1          # -1 at the SA=0 row; clip for the gather
+        bwt[1 + lo : 1 + lo + len(seg)] = np.where(
+            seg > 0, text[np.clip(prev, 0, max(n - 1, 0))], 4
+        ).astype(np.uint8)
+        z = np.nonzero(seg == 0)[0]
+        if len(z):
+            primary = 1 + lo + int(z[0])
     sa_std = np.empty(n_rows, dtype=dtype)
     sa_std[0] = n  # the empty suffix; never inside a nonempty-pattern range
     sa_std[1:] = sa.astype(dtype)
 
-    # Occ checkpoints: occ[k, c] = count of c in bwt[0 : k*OCC_BLOCK].
+    # Occ checkpoints: occ[k, c] = count of c in bwt[0 : k*OCC_BLOCK],
+    # chunked per-block bincount (CH divisible by OCC_BLOCK).
     n_blocks = (n_rows + OCC_BLOCK - 1) // OCC_BLOCK
-    onehot = np.zeros((n_blocks * OCC_BLOCK, 4), dtype=np.uint32)
-    valid = bwt < 4
-    onehot[np.nonzero(valid)[0], bwt[valid]] = 1
-    per_block = onehot.reshape(n_blocks, OCC_BLOCK, 4).sum(axis=1, dtype=np.uint64)
+    per_block = np.zeros((n_blocks, 4), np.int64)
+    for lo in range(0, n_rows, CH):
+        hi = min(lo + CH, n_rows)
+        seg = bwt[lo:hi]
+        ok = seg < 4
+        blk_local = np.arange(lo, hi) // OCC_BLOCK - lo // OCC_BLOCK
+        key = blk_local * 4 + np.minimum(seg, 3)
+        cnts = np.bincount(
+            key[ok], minlength=(blk_local[-1] + 1) * 4).reshape(-1, 4)
+        per_block[lo // OCC_BLOCK : lo // OCC_BLOCK + len(cnts)] += cnts
     occ = np.zeros((n_blocks + 1, 4), dtype=np.uint32)
     occ[1:] = np.cumsum(per_block, axis=0).astype(np.uint32)
 
-    counts = np.bincount(text, minlength=4)[:4]
+    counts = np.zeros(4, np.int64)
+    for lo in range(0, n, CH):
+        counts += np.bincount(text[lo : lo + CH], minlength=5)[:4]
     cnt = np.ones(5, dtype=np.int64)  # the leading 1 is the $ row
     cnt[1:] += np.cumsum(counts)
 
-    # ftab: row ranges per FTAB_CHARS-mer. Keys: packed prefix, A-padded for
-    # short suffixes, which sort first among equal keys, so we bump `top`
-    # past them (a k-char pattern cannot match a <k-char suffix). Row indices
-    # are in standard space (+1 for the $ row, which sorts before everything).
+    # ftab: row ranges per FTAB_CHARS-mer. The SA orders k-mer keys, so
+    # searchsorted boundaries equal prefix sums of per-key counts — a
+    # chunked histogram instead of an O(8n) key array. A-padded short
+    # suffixes sort first among equal keys, so `top` bumps past them (a
+    # k-char pattern cannot match a <k-char suffix). Row indices are in
+    # standard space (+1 for the $ row, which sorts before everything).
     k = FTAB_CHARS
     pows = (4 ** np.arange(k - 1, -1, -1)).astype(np.int64)
-    padded = np.concatenate([text.astype(np.int64), np.zeros(k, dtype=np.int64)])
-    starts = sa.astype(np.int64)
-    keys = np.zeros(n, dtype=np.int64)
-    for i in range(k):
-        keys += padded[starts + i] * pows[i]
-    short = starts > n - k  # suffixes shorter than k
-    all_kmers = np.arange(4 ** k, dtype=np.int64)
-    top = np.searchsorted(keys, all_kmers, side="left") + 1
-    bot = np.searchsorted(keys, all_kmers, side="right") + 1
-    if short.any():
-        short_keys = keys[short]
-        bump = np.bincount(short_keys, minlength=4 ** k)
-        top = top + bump
+    key_counts = np.zeros(4 ** k, np.int64)
+    bump = np.zeros(4 ** k, np.int64)
+    for lo in range(0, n, CH):
+        starts = sa[lo : lo + CH].astype(np.int64)
+        keys = np.zeros(len(starts), np.int64)
+        for i in range(k):
+            pos = starts + i
+            keys += np.where(pos < n,
+                             text[np.minimum(pos, n - 1)].astype(np.int64),
+                             0) * pows[i]
+        key_counts += np.bincount(keys, minlength=4 ** k)
+        short = starts > n - k
+        if short.any():
+            bump += np.bincount(keys[short], minlength=4 ** k)
+    csum = np.zeros(4 ** k + 1, np.int64)
+    np.cumsum(key_counts, out=csum[1:])
+    top = csum[:-1] + 1 + bump
+    bot = csum[1:] + 1
     return FmDirection(
         bwt=bwt, occ=occ, cnt=cnt, sa=sa_std, primary=primary,
         ftab_top=top.astype(np.uint32), ftab_bot=bot.astype(np.uint32))

@@ -4,6 +4,10 @@
 // algorithm (Nong, Zhang & Chan 2009), templated on the position type:
 // int32 for genomes < 2^31 bp and int64 for .bt2l-scale (GRCh38) builds.
 //
+// Performance notes: type flags live in a flat uint8 array (vector<bool>'s
+// bit ops dominated the induce loops), bucket counts are computed once per
+// recursion level, and the two induce passes run over raw pointers.
+//
 // Exposed C ABI:
 //   int bt2tpu_sais(const uint8_t* text, int32_t n, int32_t* sa)
 //   int bt2tpu_sais64(const uint8_t* text, int64_t n, int64_t* sa)
@@ -16,83 +20,74 @@
 namespace {
 
 // Generic SA-IS over an integer string `s` of length n with alphabet size K.
-// s must be strictly positive values (0 is reserved for the sentinel we
-// append internally at index n). TIdx is the position type (int32/int64).
+// s[n-1] must be a unique minimum sentinel (0). TIdx: int32 or int64.
 template <typename T, typename TIdx>
 void sais_core(const T* s, TIdx* sa, TIdx n, TIdx K) {
-    // n includes the sentinel at position n-1 (s[n-1] == 0, unique minimum).
-    std::vector<bool> is_s(n);
-    is_s[n - 1] = true;
-    for (TIdx i = n - 2; i >= 0; i--) {
-        is_s[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && is_s[i + 1]);
-    }
-    auto is_lms = [&](TIdx i) {
-        return i > 0 && is_s[i] && !is_s[i - 1];
+    // type flags: 1 = S-type, 0 = L-type; LMS = S with L on the left
+    std::vector<uint8_t> t(n);
+    t[n - 1] = 1;
+    for (TIdx i = n - 2; i >= 0; i--)
+        t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
+    const uint8_t* tp = t.data();
+    auto is_lms = [tp](TIdx i) {
+        return i > 0 && tp[i] && !tp[i - 1];
     };
 
-    std::vector<TIdx> bend(K), bstart(K);
-    auto compute_bounds = [&]() {
-        std::vector<TIdx> cnt(K, 0);
-        for (TIdx i = 0; i < n; i++) cnt[s[i]]++;
+    // bucket counts, once per level
+    std::vector<TIdx> cnt(K, 0), bstart(K), bend(K), work(K);
+    for (TIdx i = 0; i < n; i++) cnt[s[i]]++;
+    {
         TIdx acc = 0;
         for (TIdx c = 0; c < K; c++) {
             bstart[c] = acc;
             acc += cnt[c];
             bend[c] = acc;
         }
-    };
+    }
 
-    auto induce = [&](const std::vector<TIdx>& lms) {
+    auto induce = [&](const TIdx* lms, TIdx nlms) {
         std::fill(sa, sa + n, (TIdx)-1);
-        compute_bounds();
-        std::vector<TIdx> tail(bend);
         // place LMS suffixes at bucket tails (in given order, backwards)
-        for (TIdx i = (TIdx)lms.size() - 1; i >= 0; i--) {
+        std::memcpy(work.data(), bend.data(), sizeof(TIdx) * K);
+        for (TIdx i = nlms - 1; i >= 0; i--) {
             TIdx p = lms[i];
-            sa[--tail[s[p]]] = p;
+            sa[--work[s[p]]] = p;
         }
         // induce L-type from left to right
-        std::vector<TIdx> head(bstart);
+        std::memcpy(work.data(), bstart.data(), sizeof(TIdx) * K);
         for (TIdx i = 0; i < n; i++) {
             TIdx p = sa[i];
-            if (p > 0 && !is_s[p - 1]) sa[head[s[p - 1]]++] = p - 1;
+            if (p > 0 && !tp[p - 1]) sa[work[s[p - 1]]++] = p - 1;
         }
         // induce S-type from right to left
-        tail = bend;
+        std::memcpy(work.data(), bend.data(), sizeof(TIdx) * K);
         for (TIdx i = n - 1; i >= 0; i--) {
             TIdx p = sa[i];
-            if (p > 0 && is_s[p - 1]) sa[--tail[s[p - 1]]] = p - 1;
+            if (p > 0 && tp[p - 1]) sa[--work[s[p - 1]]] = p - 1;
         }
     };
 
     // collect LMS positions in text order
     std::vector<TIdx> lms_pos;
     for (TIdx i = 1; i < n; i++)
-        if (is_lms(i)) lms_pos.push_back(i);
-
-    induce(lms_pos);
-
-    // extract sorted LMS positions
-    std::vector<TIdx> sorted_lms;
-    sorted_lms.reserve(lms_pos.size());
-    for (TIdx i = 0; i < n; i++)
-        if (sa[i] > 0 && is_lms(sa[i])) sorted_lms.push_back(sa[i]);
-
-    // name LMS substrings
+        if (tp[i] && !tp[i - 1]) lms_pos.push_back(i);
     TIdx m = (TIdx)lms_pos.size();
+
+    induce(lms_pos.data(), m);
+
+    // name LMS substrings in sorted order
     std::vector<TIdx> name(n, -1);
     TIdx names = 0;
     TIdx prev = -1;
-    for (TIdx idx = 0; idx < (TIdx)sorted_lms.size(); idx++) {
-        TIdx p = sorted_lms[idx];
+    for (TIdx i = 0; i < n; i++) {
+        TIdx p = sa[i];
+        if (p <= 0 || !is_lms(p)) continue;
         if (prev < 0) {
             name[p] = names++;
         } else {
-            // compare LMS substrings at prev and p
             bool same = true;
             for (TIdx d = 0;; d++) {
-                if (s[prev + d] != s[p + d] ||
-                    is_s[prev + d] != is_s[p + d]) {
+                if (s[prev + d] != s[p + d] || tp[prev + d] != tp[p + d]) {
                     same = false;
                     break;
                 }
@@ -116,7 +111,9 @@ void sais_core(const T* s, TIdx* sa, TIdx n, TIdx K) {
         std::vector<TIdx> s1(m);
         TIdx j = 0;
         for (TIdx i = 1; i < n; i++)
-            if (is_lms(i)) s1[j++] = name[i];
+            if (tp[i] && !tp[i - 1]) s1[j++] = name[i];
+        name.clear();
+        name.shrink_to_fit();
         std::vector<TIdx> sa1(m);
         sais_core<TIdx, TIdx>(s1.data(), sa1.data(), m, names);
         for (TIdx i = 0; i < m; i++) order[i] = lms_pos[sa1[i]];
@@ -124,7 +121,7 @@ void sais_core(const T* s, TIdx* sa, TIdx n, TIdx K) {
         // all names unique: radix by name
         for (TIdx i = 0; i < m; i++) order[name[lms_pos[i]]] = lms_pos[i];
     }
-    induce(order);
+    induce(order.data(), m);
 }
 
 template <typename TIdx>

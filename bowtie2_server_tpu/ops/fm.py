@@ -39,99 +39,178 @@ _SIDE_W = 8
 _PAIR_MASK = 0x55555555
 
 
+# Big-index mode: joined texts within int32 run the classic layout; texts
+# beyond it (GRCh38-scale .bt2l genomes) switch every row value to uint32
+# (covers 4.29 Gbp — the same span the reference's 32-bit-offset build
+# covers before forcing `-l`) and replace the full on-device SA with an
+# offRate-sampled SA resolved by a device walk-left loop (ref:
+# bt2_idx.h:1607 walkLeft, :1612 getOffset; offRate=5 default at
+# bt2_idx.h:133). IMPORTANT: JAX's uint32/int32 mixed-op promotion truncates
+# to int32 with x64 disabled, so all row-typed math below keeps a single
+# dtype (`fm.cnt.dtype`) end to end.
+BIG_THRESHOLD = (1 << 31) - (1 << 23)   # leave headroom for the diag bias
+OFF_RATE_BIG = 4                        # sample every SA value % 16 == 0
+
+
 class DeviceFm(NamedTuple):
     """Device-resident arrays of one FM direction (a JAX pytree)."""
-    side: jax.Array      # [n_blocks+1, 16] uint32 fused sides (see above)
-    cnt: jax.Array       # [4] int32 C-array
-    sa: jax.Array        # [n] uint32 (full suffix array)
+    side: jax.Array      # [n_blocks+1, 8] uint32 fused sides (see above)
+    cnt: jax.Array       # [4] int32 (uint32 in big mode) C-array
+    sa: jax.Array        # [n] uint32 full SA (size-1 dummy in big mode)
     ftab_top: jax.Array  # [4^k] uint32
     ftab_bot: jax.Array  # [4^k] uint32
-    n: jax.Array         # [] int32 number of rows (text length + 1)
-    primary: jax.Array   # [] int32 row of the BWT hole ($ row, packed as 0)
+    n: jax.Array         # [] int32/uint32 number of rows (text length + 1)
+    primary: jax.Array   # [] int32/uint32 row of the BWT hole ($, packed 0)
+    # big mode only (size-0/1 dummies otherwise):
+    mark: jax.Array      # [n_blocks+1, 4] uint32: [bits_lo, bits_hi, rank,
+                         # pad] — mark bit b set iff SA[blk*64+b] % 2^r == 0;
+                         # rank = #marked rows before the block
+    sa_samp: jax.Array   # [n_marked] uint32: SA values of marked rows,
+                         # in row order
+    off_rate: int = 0    # static: 0 = full SA, else the sampling exponent
+
+    @property
+    def big(self) -> bool:
+        return self.off_rate > 0
 
 
-def to_device(d: FmDirection, device=None) -> DeviceFm:
+def to_device(d: FmDirection, device=None, big: bool | None = None,
+              off_rate: int = OFF_RATE_BIG) -> DeviceFm:
     n = d.n  # rows
+    if big is None:
+        big = n >= BIG_THRESHOLD
     n_blocks = (n + DEV_OCC_BLOCK - 1) // DEV_OCC_BLOCK
     n_pad = (n_blocks + 1) * DEV_OCC_BLOCK
-    codes = np.zeros(n_pad, np.uint32)
+    codes = np.zeros(n_pad, np.uint8)
     codes[:n] = d.bwt
     hole = codes > 3          # the $ hole (and padding) packs as char 0
     codes[hole] = 0
-    words = (codes.reshape(-1, 16) << (2 * np.arange(16, dtype=np.uint32))
+    words = (codes.reshape(-1, 16).astype(np.uint32)
+             << (2 * np.arange(16, dtype=np.uint32))
              ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
     words = words.reshape(n_blocks + 1, 4)
-    # checkpoint counts at block starts, from the byte BWT (hole uncounted)
-    onehot = np.zeros((n_pad, 4), np.uint32)
-    valid = np.zeros(n_pad, bool)
-    valid[:n] = d.bwt < 4
-    idx = np.nonzero(valid)[0]
-    onehot[idx, d.bwt[idx]] = 1
-    per_block = onehot.reshape(n_blocks + 1, DEV_OCC_BLOCK, 4).sum(
-        axis=1, dtype=np.uint64)
+    # checkpoint counts at block starts, from the byte BWT (hole uncounted);
+    # chunked bincount keeps build memory O(chunk), not O(16n)
+    per_block = np.zeros((n_blocks + 1, 4), np.uint64)
+    CH = 1 << 24
+    for lo in range(0, n_pad, CH):
+        hi = min(lo + CH, n_pad)
+        seg = np.minimum(codes[lo:hi], 3).astype(np.int64)
+        vmask = np.zeros(hi - lo, bool)
+        vn = min(hi, n) - lo
+        if vn > 0:
+            vmask[:vn] = d.bwt[lo : lo + vn] < 4
+        blk_local = (np.arange(lo, hi) // DEV_OCC_BLOCK)
+        key = (blk_local - lo // DEV_OCC_BLOCK) * 4 + seg
+        cnts = np.bincount(key[vmask],
+                           minlength=((hi - 1) // DEV_OCC_BLOCK
+                                      - lo // DEV_OCC_BLOCK + 1) * 4)
+        per_block[lo // DEV_OCC_BLOCK :
+                  lo // DEV_OCC_BLOCK + len(cnts) // 4] += \
+            cnts.reshape(-1, 4).astype(np.uint64)
     ckpt = np.zeros((n_blocks + 1, 4), np.uint32)
     ckpt[1:] = np.cumsum(per_block[:-1], axis=0).astype(np.uint32)
     side = np.zeros((n_blocks + 1, _SIDE_W), np.uint32)
     side[:, :4] = ckpt
     side[:, 4:8] = words
     put = lambda x: jax.device_put(x, device)
+    rdt = np.uint32 if big else np.int32
+    if not big:
+        return DeviceFm(
+            side=put(side),
+            cnt=put(d.cnt[:4].astype(rdt)),
+            sa=put(d.sa.astype(np.uint32)),
+            ftab_top=put(d.ftab_top),
+            ftab_bot=put(d.ftab_bot),
+            n=put(rdt(n)),
+            primary=put(rdt(d.primary)),
+            mark=put(np.zeros((1, 4), np.uint32)),
+            sa_samp=put(np.zeros(1, np.uint32)),
+            off_rate=0,
+        )
+    # --- sampled-SA structures (big mode) ---
+    sa = d.sa
+    step = 1 << off_rate
+    marked = (sa % step) == 0            # [n] bool, row order
+    mark = np.zeros((n_blocks + 1, 4), np.uint32)
+    mpad = np.zeros((n_blocks + 1) * DEV_OCC_BLOCK, bool)
+    mpad[:n] = marked
+    bits = mpad.reshape(-1, 2, 32)       # [blocks, lo/hi word, bit]
+    w = (bits.astype(np.uint32) << np.arange(32, dtype=np.uint32)
+         ).sum(axis=2, dtype=np.uint64).astype(np.uint32)
+    mark[:, 0] = w[:, 0]
+    mark[:, 1] = w[:, 1]
+    per_blk = mpad.reshape(-1, DEV_OCC_BLOCK).sum(axis=1)
+    mark[1:, 2] = np.cumsum(per_blk[:-1]).astype(np.uint32)
+    mark[0, 2] = 0
+    sa_samp = sa[marked].astype(np.uint32)
     return DeviceFm(
         side=put(side),
-        cnt=put(d.cnt[:4].astype(np.int32)),
-        sa=put(d.sa.astype(np.uint32)),
+        cnt=put(d.cnt[:4].astype(rdt)),
+        sa=put(np.zeros(1, np.uint32)),   # full SA not device-resident
         ftab_top=put(d.ftab_top),
         ftab_bot=put(d.ftab_bot),
-        n=put(np.int32(n)),
-        primary=put(np.int32(d.primary)),
+        n=put(rdt(n)),
+        primary=put(rdt(d.primary)),
+        mark=put(mark),
+        sa_samp=put(sa_samp),
+        off_rate=off_rate,
     )
+
+
+def _row_mask(rem):
+    """[B, 4] uint32 masks selecting the first `rem` (< 64) bases of a
+    side's 4 packed words. rem: [B] int32."""
+    rem_w = jnp.clip(rem[:, None] - jnp.arange(4)[None, :] * 16, 0, 16)
+    return jnp.where(
+        rem_w >= 16, jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << (2 * rem_w).astype(jnp.uint32)) - jnp.uint32(1))
 
 
 def occ_batch(fm: DeviceFm, c: jax.Array, rows: jax.Array) -> jax.Array:
     """Batched occ(c, row): #occurrences of c in bwt[0:row].
 
-    c: [B] int32 in 0..3; rows: [B] int32 -> [B] int32. One side gather.
+    c: [B] int32 in 0..3; rows: [B] row dtype -> [B] row dtype (int32, or
+    uint32 in big mode — all row math single-dtype, see BIG_THRESHOLD note).
+    One side gather.
     """
+    rdt = fm.cnt.dtype
     blk = rows // DEV_OCC_BLOCK
-    rem = rows % DEV_OCC_BLOCK
-    side = fm.side[blk]                                        # [B, 16] u32
+    rem = (rows % DEV_OCC_BLOCK).astype(jnp.int32)
+    side = fm.side[blk]                                        # [B, 8] u32
     cu = c.astype(jnp.uint32)[:, None]
     js = jnp.arange(4, dtype=jnp.uint32)[None, :]
     base = jnp.sum(jnp.where(js == cu, side[:, :4], jnp.uint32(0)),
-                   axis=1).astype(jnp.int32)
+                   axis=1).astype(rdt)
     words = side[:, 4:8]                                       # [B, 4]
     pat = cu * jnp.uint32(_PAIR_MASK)
     x = words ^ pat
     nonmatch = (x | (x >> 1)) & jnp.uint32(_PAIR_MASK)
-    rem_w = jnp.clip(rem[:, None] - jnp.arange(4)[None, :] * 16, 0, 16)
-    mask = jnp.where(
-        rem_w >= 16, jnp.uint32(0xFFFFFFFF),
-        (jnp.uint32(1) << (2 * rem_w).astype(jnp.uint32)) - jnp.uint32(1))
+    mask = _row_mask(rem)
     cnt_nonmatch = jnp.sum(
         jax.lax.population_count(nonmatch & mask).astype(jnp.int32), axis=1)
     in_block = rem - cnt_nonmatch
     # the $ hole is packed as char 0 but must not be counted
     corr = ((c == 0) & (fm.primary >= blk * DEV_OCC_BLOCK)
-            & (fm.primary < rows)).astype(jnp.int32)
-    return base + in_block - corr
+            & (fm.primary < rows)).astype(rdt)
+    return base + in_block.astype(rdt) - corr
 
 
 def occ_all4(fm: DeviceFm, rows: jax.Array) -> jax.Array:
     """occ(c, row) for ALL four characters from one side gather per row.
 
-    rows: [B] int32 -> [B, 4] int32. The per-character substitution search
-    (1mm branching) needs all four counts at the same row; computing them
-    from a single gathered side row quarters the gather traffic vs four
+    rows: [B] -> [B, 4] in the row dtype. The per-character substitution
+    search (1mm branching) needs all four counts at the same row; computing
+    them from a single gathered side row quarters the gather traffic vs four
     occ_batch calls (gathers are the bottleneck on this backend).
     """
+    rdt = fm.cnt.dtype
     blk = rows // DEV_OCC_BLOCK
-    rem = rows % DEV_OCC_BLOCK
+    rem = (rows % DEV_OCC_BLOCK).astype(jnp.int32)
     side = fm.side[blk]                                        # [B, 8] u32
-    base = side[:, :4].astype(jnp.int32)                       # [B, 4]
+    base = side[:, :4].astype(rdt)                             # [B, 4]
     words = side[:, 4:8]                                       # [B, 4]
-    rem_w = jnp.clip(rem[:, None] - jnp.arange(4)[None, :] * 16, 0, 16)
-    mask = jnp.where(
-        rem_w >= 16, jnp.uint32(0xFFFFFFFF),
-        (jnp.uint32(1) << (2 * rem_w).astype(jnp.uint32)) - jnp.uint32(1))
+    mask = _row_mask(rem)
     outs = []
     for c in range(4):
         pat = jnp.uint32(c * _PAIR_MASK)
@@ -141,9 +220,9 @@ def occ_all4(fm: DeviceFm, rows: jax.Array) -> jax.Array:
             jax.lax.population_count(nonmatch & mask).astype(jnp.int32),
             axis=1)
         outs.append(rem - cnt_nonmatch)
-    in_block = jnp.stack(outs, axis=1)                         # [B, 4]
+    in_block = jnp.stack(outs, axis=1).astype(rdt)             # [B, 4]
     corr = ((fm.primary >= blk * DEV_OCC_BLOCK)
-            & (fm.primary < rows)).astype(jnp.int32)
+            & (fm.primary < rows)).astype(rdt)
     # the $ hole is packed as char 0 but must not be counted
     return base + in_block - jnp.pad(corr[:, None], ((0, 0), (0, 3)))
 
@@ -162,16 +241,89 @@ def lf_step(fm: DeviceFm, c: jax.Array, top: jax.Array, bot: jax.Array):
     """One batched backward-search step (top and bot occ queries fused into
     a single gather pass). Lanes with c > 3 (N) or an already empty range
     collapse to the empty range (0, 0)."""
+    rdt = fm.cnt.dtype
     cc = jnp.minimum(c, 3).astype(jnp.int32)
+    top = top.astype(rdt)
+    bot = bot.astype(rdt)
     both = occ_batch(fm, jnp.concatenate([cc, cc]),
                      jnp.concatenate([top, bot]))
     B = top.shape[0]
     new_top = fm.cnt[cc] + both[:B]
     new_bot = fm.cnt[cc] + both[B:]
     bad = (c > 3) | (top >= bot)
-    new_top = jnp.where(bad, 0, new_top)
-    new_bot = jnp.where(bad, 0, new_bot)
+    zero = jnp.zeros((), rdt)
+    new_top = jnp.where(bad, zero, new_top)
+    new_bot = jnp.where(bad, zero, new_bot)
     return new_top, new_bot
+
+
+def resolve_rows_body(fm: DeviceFm, rows: jax.Array, valid: jax.Array,
+                      off_rate: int):
+    """Device walk-left SA resolution for sampled-SA (big) indexes
+    (ref: bt2_idx.h:1607 walkLeft + :1612 getOffset): LF-step each row
+    until it hits a marked row (SA value % 2^off_rate == 0 — the primary
+    row, SA=0, is marked too, so the BWT hole never gets LF'd), then
+    offset = sample[rank(row)] + steps. At most 2^off_rate - 1 steps.
+
+    rows/valid: [B]; returns offsets [B] in the row dtype (garbage where
+    ~valid — callers must mask).
+    """
+    rdt = fm.cnt.dtype
+    B = rows.shape[0]
+    n_samp = fm.sa_samp.shape[0]
+    row0 = jnp.where(valid, rows, 0).astype(rdt)
+
+    def step(_, carry):
+        row, done, off, steps = carry
+        blk = row // DEV_OCC_BLOCK
+        rem = (row % DEV_OCC_BLOCK).astype(jnp.int32)
+        mk = fm.mark[blk]                                      # [B, 4] u32
+        sh = (rem % 32).astype(jnp.uint32)
+        in_lo = rem < 32
+        word = jnp.where(in_lo, mk[:, 0], mk[:, 1])
+        marked = ((word >> sh) & jnp.uint32(1)) == 1
+        below_mask = (jnp.uint32(1) << sh) - jnp.uint32(1)
+        m_lo = jnp.where(in_lo, below_mask, jnp.uint32(0xFFFFFFFF))
+        m_hi = jnp.where(in_lo, jnp.uint32(0), below_mask)
+        rank = (mk[:, 2]
+                + (jax.lax.population_count(mk[:, 0] & m_lo)
+                   + jax.lax.population_count(mk[:, 1] & m_hi)
+                   ).astype(jnp.uint32))
+        newly = ~done & marked
+        samp = fm.sa_samp[jnp.clip(rank, 0, n_samp - 1)].astype(rdt)
+        off = jnp.where(newly, samp + steps, off)
+        done = done | marked
+        # LF for unfinished rows: char + occ from the same gathered side
+        side = fm.side[blk]
+        words = side[:, 4:8]
+        widx = rem // 16
+        wsel = jnp.sum(jnp.where(
+            jnp.arange(4)[None, :] == widx[:, None], words,
+            jnp.uint32(0)), axis=1)
+        c = ((wsel >> (2 * (rem % 16)).astype(jnp.uint32))
+             & jnp.uint32(3))                                   # [B] u32
+        pat = c[:, None] * jnp.uint32(_PAIR_MASK)
+        x = words ^ pat
+        nonmatch = (x | (x >> 1)) & jnp.uint32(_PAIR_MASK)
+        mask = _row_mask(rem)
+        occ_c = rem - jnp.sum(
+            jax.lax.population_count(nonmatch & mask).astype(jnp.int32),
+            axis=1)
+        csel = jnp.arange(4, dtype=jnp.uint32)[None, :] == c[:, None]
+        base_c = jnp.sum(jnp.where(csel, side[:, :4], jnp.uint32(0)),
+                         axis=1).astype(rdt)
+        cnt_c = jnp.sum(jnp.where(csel, fm.cnt[None, :], jnp.zeros((), rdt)),
+                        axis=1)
+        corr = ((c == 0) & (fm.primary >= blk * DEV_OCC_BLOCK)
+                & (fm.primary < row)).astype(rdt)
+        nrow = cnt_c + base_c + occ_c.astype(rdt) - corr
+        row = jnp.where(done, row, nrow)
+        steps = steps + (~done).astype(rdt)
+        return row, done, off, steps
+
+    init = (row0, ~valid, jnp.zeros(B, rdt), jnp.zeros(B, rdt))
+    _, _, off, _ = jax.lax.fori_loop(0, 1 << off_rate, step, init)
+    return off
 
 
 def _pow2_pad(n: int, lo: int = 256) -> int:
@@ -233,14 +385,16 @@ def backward_search_body(fm: DeviceFm, patterns: jax.Array,
             key = key * 4 + jnp.maximum(c, 0)
             valid = valid & (c >= 0) & (c <= 3)
         key = jnp.clip(key, 0, 4 ** k - 1)
-        top0 = jnp.where(valid, fm.ftab_top[key].astype(jnp.int32), 0)
-        bot0 = jnp.where(valid, fm.ftab_bot[key].astype(jnp.int32), fm.n)
+        rdt = fm.cnt.dtype
+        top0 = jnp.where(valid, fm.ftab_top[key].astype(rdt),
+                         jnp.zeros((), rdt))
+        bot0 = jnp.where(valid, fm.ftab_bot[key].astype(rdt), fm.n)
         # Lanes that can't use ftab (short/N in last k chars) start from the
         # whole range and will LF through all chars.
         start_step = jnp.where(valid, k, 0)
     else:
-        top0 = jnp.zeros(B, dtype=jnp.int32)
-        bot0 = jnp.broadcast_to(fm.n.astype(jnp.int32), (B,))
+        top0 = jnp.zeros(B, dtype=fm.cnt.dtype)
+        bot0 = jnp.broadcast_to(fm.n, (B,))
         start_step = jnp.zeros(B, dtype=jnp.int32)
 
     def body(step, carry):
@@ -256,7 +410,8 @@ def backward_search_body(fm: DeviceFm, patterns: jax.Array,
     top, bot = jax.lax.fori_loop(0, L, body, (top0, bot0))
     # normalize empties
     empty = top >= bot
-    return jnp.where(empty, 0, top), jnp.where(empty, 0, bot)
+    zero = jnp.zeros((), top.dtype)
+    return jnp.where(empty, zero, top), jnp.where(empty, zero, bot)
 
 
 _backward_search_impl = jax.jit(backward_search_body,
@@ -330,10 +485,11 @@ def backward_search_record_body(fm: DeviceFm, patterns, lengths):
         bots = bots.at[:, step + 1].set(bot)
         return top, bot, tops, bots
 
-    top0 = jnp.zeros(B, jnp.int32)
-    bot0 = jnp.broadcast_to(fm.n.astype(jnp.int32), (B,))
-    tops = jnp.zeros((B, L + 1), jnp.int32).at[:, 0].set(top0)
-    bots = jnp.zeros((B, L + 1), jnp.int32).at[:, 0].set(bot0)
+    rdt = fm.cnt.dtype
+    top0 = jnp.zeros(B, rdt)
+    bot0 = jnp.broadcast_to(fm.n, (B,))
+    tops = jnp.zeros((B, L + 1), rdt).at[:, 0].set(top0)
+    bots = jnp.zeros((B, L + 1), rdt).at[:, 0].set(bot0)
     _, _, tops, bots = jax.lax.fori_loop(0, L, body, (top0, bot0, tops, bots))
     return tops, bots
 
@@ -398,19 +554,21 @@ def one_mm_phase0_body(fm: DeviceFm, pat, lens, hi, tops, bots,
     okf = flat(ok)
     t0f = flat(jnp.broadcast_to(t0[:, :, None], (B, cw, 4)))
     b0f = flat(jnp.broadcast_to(b0[:, :, None], (B, cw, 4)))
-    t0f = jnp.where(okf, t0f, 0)
-    b0f = jnp.where(okf, b0f, 0)
+    zt = jnp.zeros((), t0f.dtype)
+    t0f = jnp.where(okf, t0f, zt)
+    b0f = jnp.where(okf, b0f, zt)
     nt, nb = lf_step(fm, xs, t0f, b0f)
     alive = nt < nb
     count = jnp.sum(alive.astype(jnp.int32))
     idx = jnp.nonzero(alive, size=k1, fill_value=len(xs))[0]
     safe = jnp.clip(idx, 0, len(xs) - 1)
     pad = idx >= len(xs)
+    zr = jnp.zeros((), nt.dtype)
     return (jnp.where(pad, -1, cbs[safe]),
             jnp.where(pad, -1, ps[safe]),
             jnp.where(pad, -1, ps[safe] - 1),
-            jnp.where(pad, 0, nt[safe]),
-            jnp.where(pad, 0, nb[safe]),
+            jnp.where(pad, zr, nt[safe]),
+            jnp.where(pad, zr, nb[safe]),
             count)
 
 
@@ -432,7 +590,7 @@ def one_mm_phase1_body(fm: DeviceFm, pat, cb, pos, top, bot,
         pos_ = jnp.where(act, pos_ - 1, pos_)
         return pos_, top_, bot_
     pos, top, bot = jax.lax.fori_loop(0, n_steps, body, (pos, top, bot))
-    return jnp.stack([pos, top, bot])
+    return pos, top, bot
 
 
 _one_mm_phase1 = jax.jit(one_mm_phase1_body, static_argnames=("n_steps",))
@@ -498,10 +656,11 @@ def one_mm_branch_hits(fm: DeviceFm, patterns, lengths, branch_lo, branch_hi,
         res = _one_mm_phase0(fm, pat_dev, len_dev, hi_dev, tops, bots,
                              w0, cw, k1)
         cb, cm, pos, top, bot, count = res
-        stacked = _one_mm_phase1(fm, pat_dev, cb, pos, top, bot, n_steps)
-        arr = np.asarray(jnp.concatenate(
-            [stacked, jnp.stack([cb, cm]),
-             jnp.broadcast_to(count, (1, k1))]))
+        posf, topf, botf = _one_mm_phase1(fm, pat_dev, cb, pos, top, bot,
+                                          n_steps)
+        arr = np.asarray(jnp.stack(
+            [posf, topf.astype(jnp.int32), botf.astype(jnp.int32), cb, cm,
+             jnp.broadcast_to(count, (k1,))]))
         pos_h, top_h, bot_h, cb_h, cm_h = arr[0], arr[1], arr[2], arr[3], arr[4]
         count_h = int(arr[5, 0])
         if count_h > k1:

@@ -113,4 +113,5 @@ def test_mapq_batch_dispatch():
     has = np.array([False, True])
     lo = np.array([-60, -60]); hi = np.array([0, 0])
     assert list(mapq_batch(3, best, sec, has, lo, hi, True)) == [44, 14]
-    assert list(mapq_batch(1, best, sec, has, lo, hi, True)) == [37, 2]
+    # second lane: bestdiff 6 < 60*0.1666 -> bottom bin = 1
+    assert list(mapq_batch(1, best, sec, has, lo, hi, True)) == [37, 1]
