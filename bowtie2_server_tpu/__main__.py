@@ -252,7 +252,7 @@ def cmd_align(args):
             inflight = deque()
             for batch in prefetch(reads_iter):
                 inflight.append(al.align_async(batch))
-                if len(inflight) >= 2:
+                if len(inflight) >= 3:
                     yield al.align_wait(inflight.popleft())
             while inflight:
                 yield al.align_wait(inflight.popleft())
@@ -347,7 +347,8 @@ def cmd_server(args):
     _enable_compile_cache()
     from .server.bt2srv import run_server
     run_server(args.index, port=args.port, host=args.host, local=args.local,
-               preset=args.preset, batch_size=args.batch)
+               preset=args.preset, batch_size=args.batch,
+               n_workers=args.n_workers)
 
 
 def cmd_client(args):
@@ -590,6 +591,10 @@ def main(argv=None):
     ps.add_argument("--preset", default=None)
     ps.add_argument("--cpu", action="store_true")
     ps.add_argument("--batch", type=int, default=4096)
+    ps.add_argument("--workers", dest="n_workers", type=int, default=1,
+                    help="device groups serving packs (round-robin "
+                    "dispatch across connections; ref: the shared worker "
+                    "pool, pat.cpp:2016-2086)")
     ps.set_defaults(fn=cmd_server)
 
     pc = sub.add_parser("client")

@@ -263,11 +263,11 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     perfect = meta[:, 4]
 
     if cfg.raw_len:
-        # uniform-length batches upload raw codes+quals; the encode and
-        # the right-aligned copy are pure layout work here (device)
-        raw_s, raw_q = packed2[0], packed2[1]      # [B, raw_len] u8
-        enc = jnp.where(raw_s > 3, jnp.uint8(255),
-                        ((raw_s & 3) << 6) | jnp.minimum(raw_q, 63))
+        # uniform-length batches upload ONE encoded byte per base
+        # (code<<6 | qual6, 255 = N) — half the H2D bytes of the dual
+        # left/right-aligned layout; the right-aligned copy is pure
+        # layout work here (device)
+        enc = packed2[0]                           # [B, raw_len] u8
         la = jnp.pad(enc, ((0, 0), (0, L - cfg.raw_len)),
                      constant_values=255)
         ra = jnp.pad(enc, ((0, 0), (L - cfg.raw_len, 0)),
@@ -1112,12 +1112,13 @@ class CandGen:
         uniform_len = len(lens_u) == 1 and int(lens_u[0]) == L0
         raw_len = 0
         if uniform_len:
-            # raw upload: encode + right-align move to the device
+            # single-plane encoded upload (1 B/base); right-align on device
             raw_len = L0
-            packed = np.zeros((2, Bp, L0), np.uint8)
-            packed[0, :B0] = np.asarray(seqs, np.uint8)
-            packed[1, :B0] = np.minimum(np.asarray(quals), 255
-                                        ).astype(np.uint8)
+            packed = np.full((1, Bp, L0), 255, np.uint8)
+            s_a = np.asarray(seqs, np.uint8)
+            q6 = np.minimum(np.asarray(quals), 63).astype(np.uint8)
+            packed[0, :B0] = np.where(s_a > 3, np.uint8(255),
+                                      ((s_a & 3) << 6) | q6)
         else:
             packed = np.full((2, Bp, Lp), 255, np.uint8)
             q6 = np.minimum(np.asarray(quals), 63).astype(np.uint8)

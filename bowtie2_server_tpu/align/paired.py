@@ -149,6 +149,89 @@ class PairedAligner:
         i = st.cands[ci][0]
         return int(st.end_joined[ci]) - int(st.lens[i]) + 1
 
+    def _combos_batch(self, st1, st2, idxs, scored1, scored2,
+                      slack: int = 64):
+        """Vectorized _combos over all non-fast pairs at once: one
+        classify_batch call over the stacked <=8x8 combo matrices instead
+        of 64 scalar classify() calls per pair (ref: the concordance
+        scan inside extendSeedsPaired, aligner_sw_driver.cpp:1385). The
+        per-pair ordering + RNG streak shuffle stays scalar (cheap)."""
+        P = len(idxs)
+        if P == 0:
+            return {}
+        M = 8
+        sc = np.full((2, P, M), NEG_INF, np.int64)
+        off = np.zeros((2, P, M), np.int64)
+        fw = np.zeros((2, P, M), bool)
+        ci = np.full((2, P, M), -1, np.int64)
+        nv = np.zeros((2, P), np.int32)
+        for s_i, (st, scored) in enumerate(((st1, scored1), (st2, scored2))):
+            ends = np.asarray(st.end_joined)
+            lens = np.asarray(st.lens, np.int64)
+            for p, i in enumerate(idxs):
+                s = scored[i][:M]
+                nv[s_i, p] = len(s)
+                for m, (s_sc, s_ci) in enumerate(s):
+                    sc[s_i, p, m] = s_sc
+                    ci[s_i, p, m] = s_ci
+                    fw[s_i, p, m] = st.cands[s_ci][1]
+                    off[s_i, p, m] = int(ends[s_ci]) - int(lens[i]) + 1
+        l1 = np.asarray(st1.lens, np.int64)[idxs]
+        l2 = np.asarray(st2.lens, np.int64)[idxs]
+        # combo grids [P, M, M]: mate1 varies over axis 1, mate2 over 2
+        o1 = np.broadcast_to(off[0][:, :, None], (P, M, M))
+        o2 = np.broadcast_to(off[1][:, None, :], (P, M, M))
+        f1 = np.broadcast_to(fw[0][:, :, None], (P, M, M))
+        f2 = np.broadcast_to(fw[1][:, None, :], (P, M, M))
+        L1 = np.broadcast_to(l1[:, None, None], (P, M, M))
+        L2 = np.broadcast_to(l2[:, None, None], (P, M, M))
+        vmask = (np.arange(M)[None, :, None] < nv[0][:, None, None]) & \
+                (np.arange(M)[None, None, :] < nv[1][:, None, None])
+        strict = self.pe.classify_batch(
+            o1.ravel(), L1.ravel(), f1.ravel(),
+            o2.ravel(), L2.ravel(), f2.ravel()).reshape(P, M, M) & vmask
+        # loose acceptance: right orientation + extent within slack
+        if self.pe.pol in ("FR", "RF"):
+            orient_ok = f1 != f2
+        else:
+            orient_ok = f1 == f2
+        frag = (np.maximum(o1 + L1, o2 + L2) - np.minimum(o1, o2))
+        if self.pe.expand_to_fit:
+            maxfrag = np.maximum(self.pe.maxfrag, np.maximum(L1, L2))
+        else:
+            maxfrag = np.full(frag.shape, self.pe.maxfrag, np.int64)
+        loose = vmask & orient_ok & (frag <= maxfrag + slack) & ~strict
+        any_combo = strict | loose
+        out = {}
+        for p, i in enumerate(idxs):
+            pairs = np.nonzero(any_combo[p])
+            combos = []
+            for m1, m2 in zip(*pairs):
+                combos.append((int(sc[0, p, m1] + sc[1, p, m2]),
+                               int(sc[0, p, m1]), int(ci[0, p, m1]),
+                               int(sc[1, p, m2]), int(ci[1, p, m2]),
+                               bool(strict[p, m1, m2]),
+                               int(off[0, p, m1])))
+            combos.sort(key=lambda t: (-t[0], t[6]))
+            combos = [t[:6] for t in combos]
+            if len(combos) > 1 and any(a[0] == b[0] for a, b in
+                                       zip(combos, combos[1:])):
+                # re-rank with the exact scalar path's ordering + shuffle
+                combos = self._order_combos(st1, st2, i, combos)
+            out[i] = combos
+        return out
+
+    def _order_combos(self, st1, st2, i, out):
+        """Equal-score-sum streak shuffle with the pair RNG (ref:
+        bt2_search.cpp:3384 rnd.init(seed1 ^ seed2) + selectByScore)."""
+        rnd = RandomSource(self.up.read_seed(st1, i)
+                           ^ self.up.read_seed(st2, i))
+        return [(tot, sc1, c1, sc2, c2, strict)
+                for tot, _, (sc1, c1, sc2, c2, strict) in
+                select_by_score_order(
+                    [(t[0], (self._approx_off(st1, t[2]), k), t[1:])
+                     for k, t in enumerate(out)], rnd)]
+
     def _combos(self, st1, st2, i, s1, s2, slack: int = 64):
         """Candidate concordant combos. The offsets here are approximate
         (end - readlen + 1; exact only for ungapped alignments), so this is
@@ -195,11 +278,17 @@ class PairedAligner:
 
     def _fast_cp(self, st1, st2):
         """Mask of pairs eligible for the concordant fast path, plus the
-        per-mate (score, candidate-index) arrays for eligible pairs."""
+        per-mate (score, candidate-index) arrays for eligible pairs.
+
+        Local mode included: the device's ungapped certification
+        (candgen stage 6) demands the DP argmax cell be the full-length
+        end on the candidate's own diagonal with the pure-diagonal score
+        equal to the DP best — i.e. no soft clip improves it (any
+        better clipped suffix would have produced a larger cell value),
+        so a certified winner commits as a clip-free {rl}M in local mode
+        exactly as in end-to-end."""
         B = st1.B
         zero = np.zeros(B, bool)
-        if self.up.sc.local:
-            return zero, None, None
         out_sc, out_ci, singles, offs, fws, lens = [], [], [], [], [], []
         for st in (st1, st2):
             res = getattr(st, "sel", None)
@@ -332,9 +421,9 @@ class PairedAligner:
                    else self.up.scored_candidates(st1, i) for i in range(B)]
         scored2 = [None if fastcp[i]
                    else self.up.scored_candidates(st2, i) for i in range(B)]
-        combos = [None if fastcp[i]
-                  else self._combos(st1, st2, i, scored1[i], scored2[i])
-                  for i in range(B)]
+        idxs = [i for i in range(B) if not fastcp[i]]
+        cb = self._combos_batch(st1, st2, idxs, scored1, scored2)
+        combos = [None if fastcp[i] else cb[i] for i in range(B)]
 
         # ---- batched mate rescue ----
         jobs = []  # (which_st_opp, i, opp_fw, wl, wr)

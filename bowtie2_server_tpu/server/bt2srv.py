@@ -16,16 +16,17 @@ Wire-compatible with the reference's client binary (-DBT2WEBCLIENT):
   also:     GET / -> "bowtie2 SaaS" banner; GET /config or
             GET /BT2SRV/<index>/config -> config as body (ref: pat.cpp:1990).
 
-Concurrency model: each connection parses its own input; alignment batches
-from all connections run on a single shared executor (the analog of the
-reference's shared worker pool fed by per-connection queues,
-pat.cpp:2016-2086). Results stream back in read order per connection —
-the protocol permits any order, ordered is simpler and deterministic.
+Concurrency model: each connection parses its own input; packs from all
+connections dispatch ROUND-ROBIN (one pack per connection per turn — the
+fairness of the reference's per-connection idle queues, pat.cpp:2016-2086)
+onto N workers, each owning a device group (server/dispatch.py; SURVEY
+§2.3 row 3's multi-group scale-out). Results stream back in read order
+per connection — the protocol permits any order, ordered is simpler and
+deterministic (the OutputQueue role, outq.h:38).
 """
 from __future__ import annotations
 
 import asyncio
-from concurrent.futures import ThreadPoolExecutor
 
 from ..align.paired import PairedAligner
 from ..align.pipeline import SearchPolicy, UnpairedAligner
@@ -41,21 +42,31 @@ FLUSH_READS = 4096  # must stay < the client's 20k in-flight slot cap
 class Bt2Server:
     def __init__(self, index_base: str, index_name: str | None = None,
                  local: bool = False, preset: str | None = None,
-                 batch_size: int = FLUSH_READS, engine: str = "auto"):
+                 batch_size: int = FLUSH_READS, engine: str = "auto",
+                 n_workers: int = 1):
         from ..index.bt2_reader import detect_index
+        from .dispatch import AlignDispatcher, make_device_groups
         _, loader = detect_index(str(index_base))
         self.idx = loader(str(index_base))
         self.index_name = index_name or str(index_base).rsplit("/", 1)[-1]
         sc, polkw = preset_params(preset, local)
         self.pol = SearchPolicy(**polkw)
-        self.up = UnpairedAligner(self.idx, scoring=sc, policy=self.pol,
-                                  engine=engine)
-        self.pal = PairedAligner(self.idx, scoring=sc, policy=self.pol,
-                                 engine=engine)
-        self.pal.up = self.up  # share device state
+        # one aligner pair per device group; packs dispatch round-robin
+        # across connections onto the groups (ref: the shared worker pool
+        # over per-connection queues, pat.cpp:2016-2086; SURVEY §2.3 row 3)
+        groups = make_device_groups(n_workers)
+        workers = []
+        for mesh in groups:
+            up = UnpairedAligner(self.idx, scoring=sc, policy=self.pol,
+                                 engine=engine, mesh=mesh)
+            pal = PairedAligner(self.idx, scoring=sc, policy=self.pol,
+                                engine=engine)
+            pal.up = up  # share device state within the group
+            workers.append((up, pal))
+        self.up, self.pal = workers[0]
+        self._dispatch = AlignDispatcher(workers)
         self.batch_size = batch_size
-        # one worker: all connections share the device (ref: shared pool)
-        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._conn_seq = 0
         self._server = None
 
     # ---- config block (ref: pat.cpp:1990-2011 reply_config) ----
@@ -75,9 +86,13 @@ class Bt2Server:
 
     # ---- alignment of one flushed pack ----
 
-    def _align_pack(self, rows):
+    @staticmethod
+    def _align_pack(worker, rows, ref_names):
         """rows: list of (name, seq, qual, name2|None, seq2|None, qual2|None).
-        Returns the response bytes (SAM records + END READ markers)."""
+        Runs on a dispatcher worker thread against that worker's device
+        group. Returns the response bytes (SAM records + END READ
+        markers)."""
+        up, pal = worker
         out = []
         paired_rows = [r for r in rows if r[3] is not None]
         unpaired_rows = [r for r in rows if r[3] is None]
@@ -86,7 +101,7 @@ class Bt2Server:
             b = make_batch([r[0] for r in unpaired_rows],
                            [r[1] for r in unpaired_rows],
                            [r[2] for r in unpaired_rows])
-            recs = self.up.align_batch(b)
+            recs = up.align_batch(b)
             for row, rec in zip(unpaired_rows, recs):
                 results[id(row)] = [rec]
         if paired_rows:
@@ -96,13 +111,13 @@ class Bt2Server:
             b2 = make_batch([_strip_mate(r[3]) for r in paired_rows],
                             [r[4] for r in paired_rows],
                             [r[5] for r in paired_rows])
-            pairs = self.pal.align_batch(b1, b2)
+            pairs = pal.align_batch(b1, b2)
             for row, (r1, r2) in zip(paired_rows, pairs):
                 results[id(row)] = [r1, r2]
         for row in rows:
             recs = results[id(row)]
             for rec in recs:
-                out.append(sam_record(rec, self.idx.ref_names))
+                out.append(sam_record(rec, ref_names))
             # end-of-read marker (ref: aln_sink.cpp:2159): paired reads use
             # the truncated name
             out.append("@CO END READ\t" + recs[0].name)
@@ -167,7 +182,8 @@ class Bt2Server:
         writer.write(b"\r\n")
         await writer.drain()
 
-        loop = asyncio.get_running_loop()
+        self._conn_seq += 1
+        conn_id = self._conn_seq
         pending_lines = b""
         rows = []
         # pipelined dispatch: parse of pack i+1 overlaps alignment of pack
@@ -181,8 +197,8 @@ class Bt2Server:
             nonlocal rows
             if rows:
                 pack, rows = rows, []
-                inflight.append(loop.run_in_executor(
-                    self._pool, self._align_pack, pack))
+                inflight.append(asyncio.wrap_future(self._dispatch.submit(
+                    conn_id, self._align_pack, pack, self.idx.ref_names)))
             while inflight and (final or len(inflight) >= DEPTH):
                 data = await inflight.pop(0)
                 writer.write(data)

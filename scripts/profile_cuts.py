@@ -20,7 +20,7 @@ from bowtie2_server_tpu.io.fastq import make_batch
 tmp = Path("tmp")
 fa, names, seqs, quals = make_workload(tmp)
 idx = FmIndex.load(tmp / "bench_genome_idx")
-BATCH = 8192
+BATCH = int(__import__("os").environ.get("CUT_BATCH", "8192"))
 batch = make_batch(names[:BATCH], seqs[:BATCH], quals[:BATCH])
 
 import os
