@@ -35,8 +35,16 @@ def _enable_compile_cache():
 
 
 def cmd_build(args):
-    from .index.build import build_index
     t0 = time.time()
+    if args.bt2:
+        # interchange format, byte-identical to bowtie2-build defaults
+        # (ref: bt2_io.cpp:801 writeFromMemory; tests/test_bt2_writer.py)
+        from .index.bt2_writer import write_bt2_from_fasta
+        write_bt2_from_fasta(args.ref, args.base)
+        print(f"built .bt2 index {args.base} in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        return
+    from .index.build import build_index
     idx = build_index(args.ref)
     idx.save(args.base)
     print(f"built index {args.base} ({idx.n} bp, {idx.n_refs} refs) "
@@ -442,6 +450,10 @@ def main(argv=None):
     pb = sub.add_parser("build")
     pb.add_argument("ref")
     pb.add_argument("base")
+    pb.add_argument("--bt2", action="store_true",
+                    help="emit the reference .bt2 six-file format "
+                    "(byte-identical to bowtie2-build defaults) instead "
+                    "of the native .fm.npz")
     pb.set_defaults(fn=cmd_build)
 
     pa = sub.add_parser("align")
