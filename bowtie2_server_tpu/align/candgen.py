@@ -102,6 +102,9 @@ class CandGenCfg(NamedTuple):
                                 # (ref: the -l / .bt2l build line,
                                 # btypes.h TIndexOffU, Makefile:239-246)
     off_rate: int = 0           # SA sampling exponent when big
+    seed_mms: int = 0           # -N: in-seed substitutions, fused via the
+                                # general shape's per-seed branch search
+                                # (ref: aligner_seed.cpp:668 searchSeedBi)
 
 
 class DeviceIndex(NamedTuple):
@@ -582,6 +585,63 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
             stop, sbot = dfm.backward_search_body(
                 didx.fw, pat_all, jnp.where(val_all, slen_all, 0),
                 use_ftab=True)
+            if cfg.seed_mms >= 1:
+                # -N 1 in-seed substitution branches (ref:
+                # aligner_seed.cpp:668 searchSeedBi with one mismatch; the
+                # bidirectional case split becomes left halves on the fw
+                # index, right halves on the mirror index over reversed
+                # seed patterns — the same machinery as the full-read 1mm
+                # stage, applied per seed). src 0 hits resolve like exact
+                # seed ranges; src 3 marks mirror seed ranges whose depth
+                # field carries depth+seed_len (stage 4).
+                NP = pat_all.shape[0]
+                slen_act = jnp.where(val_all, slen_all, 0)
+                half_s = slen_all // 2
+                cw_s = max(1, min(_pow2(Ls, lo=8),
+                                  (1 << 22) // max(NP * 4, 1)))
+                n_chunks_s = -(-Ls // cw_s)
+                k1s = cfg.k1
+                pat_i8s = pat_all.astype(jnp.int8)
+                tops_s, bots_s = dfm.backward_search_record_body(
+                    didx.fw, pat_all, slen_act)
+                rev_pat = _rev_rows(pat_all, slen_all, 5)
+                tops_m2, bots_m2 = dfm.backward_search_record_body(
+                    didx.mirror, rev_pat, slen_act)
+
+                def seed_one_mm(fm, pats, his, tops_, bots_, mirror,
+                                over):
+                    for c in range(n_chunks_s):
+                        cb, cm, pos1, top1, bot1, cnt1 = \
+                            dfm.one_mm_phase0_body(
+                                fm, pats, slen_act, his, tops_, bots_,
+                                c * cw_s, cw_s, k1s)
+                        posf, topf, botf = dfm.one_mm_phase1_body(
+                            fm, pats, cb, pos1, top1, bot1, Ls + 2)
+                        ok1 = (cb >= 0) & (posf < 0) & (topf < botf)
+                        cbc = jnp.clip(cb, 0, NP - 1)
+                        r_lane.append(lane_all[cbc])
+                        dep1 = dep_all[cbc]
+                        if mirror:
+                            dep1 = dep1 + slen_all[cbc]
+                        r_depth.append(dep1)
+                        r_top.append(topf)
+                        r_cnt.append(jnp.minimum(
+                            jnp.where(ok1, botf - topf,
+                                      jnp.zeros((), rdt)),
+                            jnp.asarray(E, rdt)).astype(jnp.int32))
+                        r_src.append(jnp.full(k1s, 3 if mirror else 0,
+                                              jnp.int32))
+                        over = jnp.maximum(over, cnt1)
+                    return over
+
+                cnt_fw = seed_one_mm(
+                    didx.fw, pat_i8s, jnp.where(val_all, half_s, 0),
+                    tops_s, bots_s, False, cnt_fw)
+                cnt_mr = seed_one_mm(
+                    didx.mirror, rev_pat.astype(jnp.int8),
+                    jnp.where(val_all, slen_all - half_s, 0),
+                    tops_m2, bots_m2, True, cnt_mr)
+
             n_seed_ct += jnp.sum(val_all.astype(jnp.int32))
             hit = val_all & (stop < sbot)
             zero_r = jnp.zeros((), rdt)
@@ -661,22 +721,28 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
         # walkLeft/getOffset, bt2_idx.h:1607; group_walk.h's laziness is
         # replaced by a fixed 2^off_rate-step masked loop)
         src = e_mat[:, 3] >> 16
+        is_m = (src == 1) | (src == 3)
         read = lane % B
         rl = lens[read].astype(rdt)
         row_c = jnp.minimum(row, didx.fw.n - 1)
         off_fw = dfm.resolve_rows_body(
-            didx.fw, row_c, ~pad & (src == 0), cfg.off_rate)
+            didx.fw, row_c, ~pad & ~is_m, cfg.off_rate)
         off_mr = dfm.resolve_rows_body(
             didx.mirror, jnp.minimum(row, didx.mirror.n - 1),
-            ~pad & (src == 1), cfg.off_rate)
-        off = jnp.where(src == 1, off_mr, off_fw)
+            ~pad & is_m, cfg.off_rate)
+        off = jnp.where(is_m, off_mr, off_fw)
         n_text_u = jnp.asarray(n_text, rdt)
-        diag = jnp.where(src == 1,
-                         (n_text_u + BIAS_u) - off - rl,
-                         off + BIAS_u - e_depth.astype(rdt))
+        # src 1 = full-read mirror range (subtract read length); src 3 =
+        # mirror SEED range (depth field already carries depth+seed_len)
+        diag = jnp.where(
+            src == 1, (n_text_u + BIAS_u) - off - rl,
+            jnp.where(src == 3,
+                      (n_text_u + BIAS_u) - off - e_depth.astype(rdt),
+                      off + BIAS_u - e_depth.astype(rdt)))
         e_ok = ~pad & (diag + rl > BIAS_u)    # biased form of diag > -rl
     elif cfg.has_short:
         src = e_mat[:, 3] >> 16
+        is_m = (src == 1) | (src == 3)
         read = lane % B
         rl = lens[read]
         off_fw = didx.fw.sa[
@@ -684,9 +750,13 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
         off_pos = dkm.pos[jnp.clip(row, 0, n_keys - 1)].astype(jnp.int32)
         off_mr = didx.mirror.sa[
             jnp.clip(row, 0, didx.mirror.sa.shape[0] - 1)].astype(jnp.int32)
-        off = jnp.where(src == 1, off_mr, jnp.where(src == 2, off_pos,
-                                                    off_fw))
-        diag = jnp.where(src == 1, n_text - off - rl, off - e_depth)
+        off = jnp.where(is_m, off_mr, jnp.where(src == 2, off_pos,
+                                                off_fw))
+        # src 1 = full-read mirror range; src 3 = mirror SEED range whose
+        # depth field carries depth+seed_len (the -N 1 sub-search)
+        diag = jnp.where(src == 1, n_text - off - rl,
+                         jnp.where(src == 3, n_text - off - e_depth,
+                                   off - e_depth))
         e_ok = ~pad & (diag > -rl)
     else:
         # fast shape: every range is a seed-table range (src == 2)
@@ -1107,6 +1177,9 @@ class CandGen:
         if self.big:
             # big mode runs the FM general shape (no k-mer table in HBM)
             has_short = True
+        if pol.n_seed_mms > 0:
+            # -N 1 needs per-seed FM patterns for the substitution branches
+            has_short = True
 
         lens_u = np.unique(lens_i[:B0]) if B0 else lens_i[:0]
         uniform_len = len(lens_u) == 1 and int(lens_u[0]) == L0
@@ -1190,7 +1263,8 @@ class CandGen:
             n_hi=ktab.n_hi, n_lo=ktab.n_lo, bbits=ktab.bbits,
             mmtab_t=tuple(int(x) for x in np.asarray(mmtab[:64])),
             sched=sched, static_len=static_len, raw_len=raw_len,
-            big=self.big, off_rate=self.off_rate)
+            big=self.big, off_rate=self.off_rate,
+            seed_mms=min(pol.n_seed_mms, 1))
         args = (jnp.asarray(packed), jnp.asarray(meta), self._mmtab(mmtab))
         if self.mesh is not None:
             out = _sharded_pipeline(cfg, self.mesh)(self.didx, dkm, *args)

@@ -497,7 +497,7 @@ class UnpairedAligner:
     def collect_async(self, batch: ReadBatch, boost=None, seed_skip=None):
         """Dispatch the device-side search for a batch (non-blocking)."""
         if (self.candgen is None or self.dp_log is not None
-                or self.timing is not None or self.pol.n_seed_mms > 0
+                or self.timing is not None
                 or self.pol.khits > self.pol.max_sa_elts):
             # large -k / -a need more SA elements per range than the fused
             # shape resolves — run the host path with a boosted cap
@@ -505,8 +505,8 @@ class UnpairedAligner:
                 raise NotImplementedError(
                     "big-index mode supports only the fused device path "
                     "(the host fallback needs the full SA on device); "
-                    "-N 1 / --dp-log / -t / large -k are small-index-only "
-                    "for now")
+                    "--dp-log / -t / large -k are small-index-only for "
+                    "now")
             return ("host", batch, boost, seed_skip)
         from .candgen import per_len
         lens = batch.lens
