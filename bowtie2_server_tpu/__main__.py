@@ -84,6 +84,8 @@ def cmd_align(args):
         polkw["interval"] = SimpleFunc.parse(args.ival)
     if args.rounds:
         polkw["n_seed_rounds"] = args.rounds
+    if args.dpad is not None:
+        polkw["maxhalf"] = args.dpad
     # -a: unbounded reporting (ref: ReportingParams::allHits) — routes to
     # the host path with a boosted per-range resolution cap
     from .align.pipeline import ALL_HITS
@@ -485,6 +487,11 @@ def main(argv=None):
     pa.add_argument("-L", dest="seedlen", type=int, default=None)
     pa.add_argument("-i", dest="ival", default=None)
     pa.add_argument("-R", dest="rounds", type=int, default=None)
+    pa.add_argument("--dpad", type=int, default=None,
+                    help="DP padding: max gap excursion per side (default "
+                    "15; widens the banded kernel per policy — the "
+                    "long-read sensitivity knob; ref: bt2_search.cpp "
+                    "maxhalf/--dpad)")
     pa.add_argument("-5", "--trim5", dest="trim5", type=int, default=0)
     pa.add_argument("-3", "--trim3", dest="trim3", type=int, default=0)
     pa.add_argument("-s", "--skip", dest="skip", type=int, default=0)

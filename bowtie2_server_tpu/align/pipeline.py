@@ -38,9 +38,20 @@ from ..ops.sw import NEG_INF, SwConfig, sw_align_batch
 from ..ops.sw_banded import banded_traceback, sw_banded_batch
 
 # Band width: the reference's seed-extension rectangle spans +-2*maxgap
-# (maxgap <= maxhalf=15) around the anchor diagonal (ref: dp_framer.cpp:95-100
-# frameSeedExtensionRect), so +-32 covers its full reach.
+# (maxgap <= maxhalf, default 15 = --dpad) around the anchor diagonal
+# (ref: dp_framer.cpp:95-100 frameSeedExtensionRect), so +-32 covers its
+# full reach at the default. Larger --dpad widens the band per policy
+# (band_for), the long-read/sensitivity knob: memory stays O(L*K).
 BAND = 64
+
+
+def band_for(maxhalf: int) -> int:
+    """Band width covering +-2*maxhalf diagonal excursion, pow2-bucketed
+    (one compiled kernel shape per width)."""
+    k = 64
+    while k < 4 * maxhalf + 4:
+        k *= 2
+    return k
 
 # -a sentinel: "report all" (ref: ReportingParams::allHits, aln_sink.h:288
 # khits == max int). Large khits route to the host path with a boosted
@@ -389,6 +400,7 @@ class UnpairedAligner:
         self.engine = engine
         self.big = (index.n + 1 >= dfm.BIG_THRESHOLD if force_big is None
                     else bool(force_big))
+        self.band = band_for(self.pol.maxhalf)
         self.dev = dfm.to_device(index.fw, big=self.big)
         self.dev_mirror = (dfm.to_device(index.mirror, big=self.big)
                           if index.mirror is not None else None)
@@ -414,7 +426,7 @@ class UnpairedAligner:
                 eng = ("pallas" if _jax.default_backend() == "tpu"
                        else "xla")
             self.candgen = CandGen(self.dev, self.dev_mirror, index,
-                                   self.pol, self.sw_cfg, eng, BAND,
+                                   self.pol, self.sw_cfg, eng, self.band,
                                    mesh=mesh)
 
     # ---- seed schedule (ref: bt2_search.cpp:3848-3870, aligner_seed.cpp:498)
@@ -638,7 +650,7 @@ class UnpairedAligner:
                 return fw_seqs[i, :rl], m["mm_fw"][i, :rl], rl
             return m["rc_seqs"][i, :rl], m["mm_rc"][i, :rl], rl
 
-        fin_info = LazyFin(res, lens, self.idx.joined, BAND)
+        fin_info = LazyFin(res, lens, self.idx.joined, self.band)
         st = SimpleNamespace(
             B=B, recs=recs, cands=cands, best=best, end_joined=end_joined,
             fin_info=fin_info, by_read=by_read, read_arrays=read_arrays,
@@ -1121,7 +1133,7 @@ class UnpairedAligner:
         # [diag-2*maxgap, diag+rdlen-1+2*maxgap], trimmed to the reference
         # with up to nceil N columns of leeway).
         cands = sorted(cand)
-        K = BAND
+        K = self.band
         c_half = K // 2
         mg2 = 2 * self.pol.maxhalf
         joined = self.idx.joined
@@ -1380,7 +1392,7 @@ class UnpairedAligner:
                 start_col = bk
             else:
                 edits, start_col, read_start = banded_traceback(
-                    rd[:rl], mm, window, cfg, bi, bk, K=BAND)
+                    rd[:rl], mm, window, cfg, bi, bk, K=self.band)
                 read_end = bi + 1
         else:
             start_col = bk - (rl - 1)

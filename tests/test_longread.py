@@ -54,3 +54,41 @@ def test_5kb_gapped_read_exact_cigar(tmp_path):
     assert rec.xo == 2 and rec.xg == 5
     # score: 15 mm at -6 (high qual), gaps -5-3*2 and -5-3*3
     assert rec.score == -(n_mm * 6) - 11 - 14
+
+
+def test_dpad_widens_band_for_large_gaps(tmp_path):
+    """--dpad > default widens the banded kernel so a gap exceeding the
+    default band's reach aligns end-to-end (ref: --dpad maxhalf,
+    dp_framer.cpp:95 rectangle reach). With the default policy the same
+    read cannot bridge the 50 bp deletion (matching the reference's own
+    default-width behavior)."""
+    from dataclasses import replace
+
+    from bowtie2_server_tpu.align.pipeline import (SearchPolicy,
+                                                   band_for)
+    from bowtie2_server_tpu.utils.scoring import Scoring
+    from bowtie2_server_tpu.utils.simple_func import SimpleFunc
+
+    assert band_for(15) == 64 and band_for(40) == 256
+
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    g = rng.integers(0, 4, 30_000).astype(np.uint8)
+    fa = tmp_path / "g.fa"
+    s = bases[g].tobytes().decode()
+    fa.write_text(">g\n" + s + "\n")
+    idx = build_index(str(fa))
+    # 400bp read with a 50bp deletion in the middle
+    start = 5_000
+    read = np.concatenate([g[start : start + 200],
+                           g[start + 250 : start + 450]])
+    b = make_batch(["lr"], [bases[read].tobytes()], [b"I" * len(read)])
+    # permissive min score so the gap penalty is affordable
+    sc = replace(Scoring.default_e2e(),
+                 score_min=SimpleFunc.parse("L,-1,-1.5"))
+    wide = UnpairedAligner(idx, scoring=sc,
+                           policy=SearchPolicy(maxhalf=40))
+    assert wide.band == 256
+    rec = wide.align_batch(b)[0]
+    assert rec.aligned and rec.cigar == "200M50D200M", rec.cigar
+    assert rec.pos == start
