@@ -110,8 +110,29 @@ def cmd_align(args):
     out = open(args.S, "w") if args.S else sys.stdout
     out.write(sam_header(idx.ref_names, idx.ref_lens, " ".join(sys.argv),
                          rg_id=args.rg_id, rg_fields=args.rg))
-    un_f = open(args.un, "w") if args.un else None
-    al_f = open(args.al, "w") if args.al else None
+
+    def _open_out(path, comp):
+        # --un/--al [-gz|-bz2] output routing (ref: the wrapper's
+        # compressed demux, bowtie2-server:489-626)
+        if comp == "gz":
+            import gzip
+            return gzip.open(path, "wt")
+        if comp == "bz2":
+            import bz2
+            return bz2.open(path, "wt")
+        return open(path, "w")
+
+    def _pick(plain, gz, bz2_):
+        if gz:
+            return gz, "gz"
+        if bz2_:
+            return bz2_, "bz2"
+        return plain, ""
+
+    un_path, un_comp = _pick(args.un, args.un_gz, args.un_bz2)
+    al_path, al_comp = _pick(args.al, args.al_gz, args.al_bz2)
+    un_f = _open_out(un_path, un_comp) if un_path else None
+    al_f = _open_out(al_path, al_comp) if al_path else None
     summ = AlnSummary()
     met_fh = open(args.met_file, "w") if args.met_file else sys.stderr
     # --met-stderr/--met-file emit the reference's 129-column PerfMetrics
@@ -164,10 +185,14 @@ def cmd_align(args):
         from .io.fastq import prefetch
         it1 = prefetch(iter_fastq(args.m1, **fastq_kw))
         it2 = prefetch(iter_fastq(args.m2, **fastq_kw))
-        unc_f = [open(args.un_conc.replace("%", str(m)), "w")
-                 for m in (1, 2)] if args.un_conc else None
-        alc_f = [open(args.al_conc.replace("%", str(m)), "w")
-                 for m in (1, 2)] if args.al_conc else None
+        unc_path, unc_comp = _pick(args.un_conc, args.un_conc_gz,
+                                   args.un_conc_bz2)
+        alc_path, alc_comp = _pick(args.al_conc, args.al_conc_gz,
+                                   args.al_conc_bz2)
+        unc_f = [_open_out(unc_path.replace("%", str(m)), unc_comp)
+                 for m in (1, 2)] if unc_path else None
+        alc_f = [_open_out(alc_path.replace("%", str(m)), alc_comp)
+                 for m in (1, 2)] if alc_path else None
         for b1, b2 in zip(it1, it2):
             pairs = pal.align_batch(b1, b2)
             for r1, r2 in pairs:
@@ -510,6 +535,15 @@ def main(argv=None):
     pa.add_argument("--no-overlap", dest="no_overlap", action="store_true")
     pa.add_argument("--un", default=None)
     pa.add_argument("--al", default=None)
+    pa.add_argument("--un-gz", dest="un_gz", default=None,
+                    help="like --un, gzip-compressed (ref: wrapper demux)")
+    pa.add_argument("--un-bz2", dest="un_bz2", default=None)
+    pa.add_argument("--al-gz", dest="al_gz", default=None)
+    pa.add_argument("--al-bz2", dest="al_bz2", default=None)
+    pa.add_argument("--un-conc-gz", dest="un_conc_gz", default=None)
+    pa.add_argument("--un-conc-bz2", dest="un_conc_bz2", default=None)
+    pa.add_argument("--al-conc-gz", dest="al_conc_gz", default=None)
+    pa.add_argument("--al-conc-bz2", dest="al_conc_bz2", default=None)
     pa.add_argument("--un-conc", dest="un_conc", default=None,
                     help="write non-concordant pairs to files (use %% for "
                     "the mate number)")
