@@ -170,7 +170,26 @@ def cmd_align(args):
         f.write(f"@{rec.name}\n{seq.decode()}\n+\n"
                 f"{qual.decode() or 'I'*len(seq)}\n")
 
-    if args.m1 and args.m2:
+    if args.bam and args.align_paired_reads:
+        # --align-paired-reads: paired records in a BAM align as pairs
+        # (ref: pat.h:1074 BAMPatternSource, gAlignPairedBAM)
+        from .align.paired import PairedAligner, PairedPolicy
+        from .io.bam import iter_bam_paired
+        pe = PairedPolicy(pol=args.orient, minfrag=args.minins,
+                          maxfrag=args.maxins)
+        pal = PairedAligner(idx, scoring=sc, policy=pol, pe=pe,
+                            no_mixed=args.no_mixed,
+                            no_discordant=args.no_discordant)
+        pal.up.mapq_v = args.mapq_v
+        for b1, b2 in iter_bam_paired(args.U, batch_size=args.batch):
+            pairs = pal.align_batch(b1, b2)
+            for r1, r2 in pairs:
+                write_rec(r1)
+                write_rec(r2)
+                summ.add_pair(r1, r2)
+            n += 2 * len(pairs)
+            n_aligned += sum(r1.aligned + r2.aligned for r1, r2 in pairs)
+    elif args.m1 and args.m2:
         from .align.paired import PairedAligner, PairedPolicy
         pe = PairedPolicy(pol=args.orient, minfrag=args.minins,
                           maxfrag=args.maxins,
@@ -628,6 +647,10 @@ def main(argv=None):
                     help="interleaved paired FASTQ file")
     pa.add_argument("-b", "--bam", action="store_true",
                     help="reads are in BAM format")
+    pa.add_argument("--align-paired-reads", dest="align_paired_reads",
+                    action="store_true",
+                    help="align paired BAM records as pairs "
+                    "(ref: pat.h:1074)")
     pa.set_defaults(fn=cmd_align)
 
     pi = sub.add_parser("inspect")

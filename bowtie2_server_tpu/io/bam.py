@@ -42,10 +42,45 @@ def _bgzf_blocks(f):
         yield data
 
 
-def iter_bam(path, batch_size: int = 4096, keep_paired_flags: bool = False):
-    """Yield ReadBatch objects of the reads stored in a BAM file."""
+def iter_bam_paired(path, batch_size: int = 4096):
+    """Paired BAM input (--align-paired-reads; ref: pat.h:1074
+    BAMPatternSource with gAlignPairedBAM): mate-1 records (flag 0x40)
+    pair with the NEXT mate-2 record (0x80) of the same QNAME — the
+    name-adjacent layout of name-sorted / as-produced BAM. Unpaired
+    records (no 0x1) are skipped. Yields (batch1, batch2)."""
+    from .fastq import make_batch as _mk
+    n1, s1, q1, n2, s2, q2 = [], [], [], [], [], []
+    pend: dict[str, tuple] = {}
+    for name, seq, qual, flag in _iter_bam_records(path):
+        if not flag & 0x1:
+            continue
+        mate1 = bool(flag & 0x40)
+        other = pend.pop(name, None)
+        if other is None:
+            pend[name] = (seq, qual, mate1)
+            continue
+        oseq, oq, omate1 = other
+        if mate1 == omate1:     # same mate twice: keep the newest pending
+            pend[name] = (seq, qual, mate1)
+            continue
+        m1s, m1q, m2s, m2q = ((seq, qual, oseq, oq) if mate1
+                              else (oseq, oq, seq, qual))
+        n1.append(name)
+        s1.append(m1s)
+        q1.append(m1q)
+        n2.append(name)
+        s2.append(m2s)
+        q2.append(m2q)
+        if len(n1) >= batch_size:
+            yield _mk(n1, s1, q1), _mk(n2, s2, q2)
+            n1, s1, q1, n2, s2, q2 = [], [], [], [], [], []
+    if n1:
+        yield _mk(n1, s1, q1), _mk(n2, s2, q2)
+
+
+def _iter_bam_records(path):
+    """Yield (name, seq, qual, flag) of primary records in a BAM file."""
     buf = b""
-    names, seqs, quals = [], [], []
     with open(path, "rb") as f:
         blocks = _bgzf_blocks(f)
 
@@ -101,11 +136,19 @@ def iter_bam(path, batch_size: int = 4096, keep_paired_flags: bool = False):
             if flag & 0x10:  # stored revcomp: restore original orientation
                 seq = dna.decode(dna.revcomp(dna.encode(seq))).encode()
                 q = q[::-1]
-            names.append(name)
-            seqs.append(seq)
-            quals.append(q)
-            if len(names) >= batch_size:
-                yield make_batch(names, seqs, quals)
-                names, seqs, quals = [], [], []
+            yield name, seq, q, flag
+
+
+def iter_bam(path, batch_size: int = 4096, keep_paired_flags: bool = False):
+    """Yield ReadBatch objects of the reads stored in a BAM file
+    (unpaired view: every primary record becomes a read)."""
+    names, seqs, quals = [], [], []
+    for name, seq, q, _flag in _iter_bam_records(path):
+        names.append(name)
+        seqs.append(seq)
+        quals.append(q)
+        if len(names) >= batch_size:
+            yield make_batch(names, seqs, quals)
+            names, seqs, quals = [], [], []
     if names:
         yield make_batch(names, seqs, quals)

@@ -92,8 +92,9 @@ def banded_best_numpy(rd, mmpen, band, cfg, K=DEFAULT_BAND):
         rows, ks = np.nonzero(H == m)
         return m, int(rows[-1]), int(ks[-1])
     row = H[lq - 1]
-    k = int(np.argmax(row))
-    return int(row[k]), lq - 1, k
+    m = int(row.max())
+    k = int(np.nonzero(row == m)[0][-1])   # ties: larger k, see engines
+    return m, lq - 1, k
 
 
 def banded_traceback(rd, mmpen, band, cfg, end_i, end_k, K=DEFAULT_BAND):
@@ -204,14 +205,13 @@ def _banded_tile_xla(cfg: SwConfig, K: int, rd, mmpen, lens, band):
         else:
             scored = jnp.where(i == lens[None, :] - 1, h, neg)
         col_best = jnp.max(scored, axis=0)
-        if cfg.local:  # ties: larger k = longer alignment end
-            col_arg = jnp.max(
-                jnp.where(scored == col_best[None, :], ks, jnp.int32(-1)),
-                axis=0)
-        else:
-            col_arg = jnp.min(
-                jnp.where(scored == col_best[None, :], ks,
-                          jnp.int32(1 << 30)), axis=0)
+        # ties: larger k (rightmost end column) in BOTH modes — the
+        # reference's backtrace branch order prefers the larger column
+        # (aligner_bt.h:450 operator<: `col_ > o.col_`), observed on the
+        # co-optimal-tie class of the lambda longreads
+        col_arg = jnp.max(
+            jnp.where(scored == col_best[None, :], ks, jnp.int32(-1)),
+            axis=0)
         ok = (col_best >= best) if cfg.local else (col_best > best)
         best = jnp.where(ok, col_best, best)
         bi = jnp.where(ok, i, bi)
@@ -251,14 +251,13 @@ def _banded_kernel(cfg: SwConfig, K: int, lq: int,
         else:
             scored = jnp.where(i == lens[None, :] - 1, h, neg)
         col_best = jnp.max(scored, axis=0)
-        if cfg.local:  # ties: larger k = longer alignment end
-            col_arg = jnp.max(
-                jnp.where(scored == col_best[None, :], ks, jnp.int32(-1)),
-                axis=0)
-        else:
-            col_arg = jnp.min(
-                jnp.where(scored == col_best[None, :], ks,
-                          jnp.int32(1 << 30)), axis=0)
+        # ties: larger k (rightmost end column) in BOTH modes — the
+        # reference's backtrace branch order prefers the larger column
+        # (aligner_bt.h:450 operator<: `col_ > o.col_`), observed on the
+        # co-optimal-tie class of the lambda longreads
+        col_arg = jnp.max(
+            jnp.where(scored == col_best[None, :], ks, jnp.int32(-1)),
+            axis=0)
         ok = (col_best >= best) if cfg.local else (col_best > best)
         best = jnp.where(ok, col_best, best)
         bi = jnp.where(ok, i, bi)

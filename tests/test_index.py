@@ -273,3 +273,44 @@ def test_bt2_fast_load_matches_native():
         m1 = search_exact(idx_bt2.mirror, rp)
         m2 = search_exact(idx_nat.mirror, rp)
         assert m1[1] - m1[0] == m2[1] - m2[0]
+
+
+def test_bam_paired_input(tmp_path):
+    """--align-paired-reads: paired BAM records pair up by QNAME + mate
+    flags (ref: pat.h:1074 BAMPatternSource, gAlignPairedBAM)."""
+    import struct, zlib
+
+    from bowtie2_server_tpu.io.bam import iter_bam_paired
+
+    def bgzf_block(d):
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cd = c.compress(d) + c.flush()
+        out = struct.pack("<BBBBIBBH", 0x1f, 0x8b, 8, 4, 0, 0, 0xff, 6)
+        out += struct.pack("<BBHH", 66, 67, 2, len(cd) + 25)
+        out += cd + struct.pack("<II", zlib.crc32(d) & 0xffffffff, len(d))
+        return out
+
+    SEQ4 = "=ACMGRSVTWYHKDBN"
+
+    def rec(name, seq, flag):
+        s4 = bytes((SEQ4.index(seq[i]) << 4) |
+                   (SEQ4.index(seq[i + 1]) if i + 1 < len(seq) else 0)
+                   for i in range(0, len(seq), 2))
+        r = struct.pack("<iiBBHHHiiii", -1, -1, len(name) + 1, 0, 0, 0,
+                        flag, len(seq), -1, -1, 0)
+        r += name.encode() + b"\0" + s4 + bytes([40] * len(seq))
+        return struct.pack("<i", len(r)) + r
+
+    hdr = b"BAM\x01" + struct.pack("<ii", 0, 0)
+    # p1 in order, p2 with mate2 first, u1 unpaired (skipped)
+    body = (rec("p1", "ACGT", 0x1 | 0x40) + rec("p1", "TTGG", 0x1 | 0x80)
+            + rec("u1", "CCCC", 0)
+            + rec("p2", "GGAA", 0x1 | 0x80) + rec("p2", "AACC", 0x1 | 0x40))
+    bam = tmp_path / "p.bam"
+    bam.write_bytes(bgzf_block(hdr + body) + bgzf_block(b""))
+    pairs = list(iter_bam_paired(bam))
+    assert len(pairs) == 1
+    b1, b2 = pairs[0]
+    assert b1.names == ["p1", "p2"] and b2.names == ["p1", "p2"]
+    assert b1.raw_seq == [b"ACGT", b"AACC"]
+    assert b2.raw_seq == [b"TTGG", b"GGAA"]
