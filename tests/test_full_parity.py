@@ -59,7 +59,8 @@ def test_full_longreads_unpaired_e2e(tmp_path, lambda_idx):
     golden = _ungz("golden_longreads_full.sam.gz", tmp_path)
     out = tmp_path / "ours.sam"
     _run_align(lambda_idx, out, "-U", str(READS / "longreads.fq"))
-    assert _rate(golden, out) >= 0.992
+    # 99.68% measured after the larger-col argmax tie fix (round 3)
+    assert _rate(golden, out) >= 0.9955
 
 
 def test_full_paired_e2e(tmp_path, lambda_idx):
