@@ -107,9 +107,19 @@ def cmd_align(args):
     qual_conv = make_qual_conv(phred64=args.phred64, solexa=args.solexa,
                                int_quals=args.int_quals)
 
-    out = open(args.S, "w") if args.S else sys.stdout
-    out.write(sam_header(idx.ref_names, idx.ref_lens, " ".join(sys.argv),
-                         rg_id=args.rg_id, rg_fields=args.rg))
+    hdr_text = sam_header(idx.ref_names, idx.ref_lens, " ".join(sys.argv),
+                          rg_id=args.rg_id, rg_fields=args.rg)
+    bam_w = None
+    if args.output_bam:
+        # native BAM output (the wrapper delegates this to `samtools
+        # view -b`, bowtie2-server:495-505; we encode in-process)
+        from .io.bam import BamWriter
+        raw = open(args.S, "wb") if args.S else sys.stdout.buffer
+        bam_w = BamWriter(raw, hdr_text, idx.ref_names, idx.ref_lens)
+        out = raw
+    else:
+        out = open(args.S, "w") if args.S else sys.stdout
+        out.write(hdr_text)
 
     def _open_out(path, comp):
         # --un/--al [-gz|-bz2] output routing (ref: the wrapper's
@@ -155,7 +165,11 @@ def cmd_align(args):
                   show_rand_seed=args.show_rand_seed)
 
     def write_rec(rec):
-        out.write(sam_record(rec, idx.ref_names, args.rg_id, **sam_kw) + "\n")
+        line = sam_record(rec, idx.ref_names, args.rg_id, **sam_kw)
+        if bam_w is not None:
+            bam_w.write_sam_line(line)
+            return
+        out.write(line + "\n")
         if args.passthrough:
             # original read record follows each SAM record (ref:
             # aln_sink.cpp:2142-2146; the wrapper demuxes on these)
@@ -313,7 +327,7 @@ def cmd_align(args):
 
         use_native = not (args.passthrough or args.xeq
                           or args.sam_append_comment or args.show_rand_seed
-                          or un_f or al_f)
+                          or un_f or al_f or bam_w is not None)
         out_b = getattr(out, "buffer", None)
         for recs in batch_results():
             blob = None
@@ -366,6 +380,8 @@ def cmd_align(args):
     for f in (un_f, al_f):
         if f:
             f.close()
+    if bam_w is not None:
+        bam_w.close()
     if args.S:
         out.close()
 
@@ -647,6 +663,10 @@ def main(argv=None):
                     help="interleaved paired FASTQ file")
     pa.add_argument("-b", "--bam", action="store_true",
                     help="reads are in BAM format")
+    pa.add_argument("--output-bam", dest="output_bam",
+                    action="store_true",
+                    help="write BAM instead of SAM (the wrapper's --bam, "
+                    "encoded natively instead of via samtools)")
     pa.add_argument("--align-paired-reads", dest="align_paired_reads",
                     action="store_true",
                     help="align paired BAM records as pairs "

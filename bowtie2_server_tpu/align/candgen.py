@@ -892,8 +892,13 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     # ---- stage 7: per-read selection (best + secbest-distinct-end) ----
     sel_ok = interior & (c_score >= minsc[c_read])
     if not cfg.has_short:
-        # exact-only (seed_skip) reads report only perfect-score hits
-        sel_ok &= ~ex_only[c_read] | (c_score == perfect[c_read])
+        # seed_skip (exact-only) reads keep hits the reference's up-front
+        # stages would find without seeds: perfect full-read matches
+        # (exactSweep) AND ungapped full-length hits with <= 1
+        # substitution (do1mmUpFront, aligner_seed.cpp:973) — dropping
+        # the latter lost mate-rescue anchors (r376-class pairs)
+        sel_ok &= (~ex_only[c_read] | (c_score == perfect[c_read])
+                   | (ungapped_c & (nm_c <= 1)))
     NEG = jnp.int32(NEG_INF)
     sc = jnp.where(sel_ok, c_score, NEG)
     best_sc = _seg_max(sc, c_read, B)

@@ -280,15 +280,17 @@ class PairedAligner:
         """Mask of pairs eligible for the concordant fast path, plus the
         per-mate (score, candidate-index) arrays for eligible pairs.
 
-        Local mode included: the device's ungapped certification
-        (candgen stage 6) demands the DP argmax cell be the full-length
-        end on the candidate's own diagonal with the pure-diagonal score
-        equal to the DP best — i.e. no soft clip improves it (any
-        better clipped suffix would have produced a larger cell value),
-        so a certified winner commits as a clip-free {rl}M in local mode
-        exactly as in end-to-end."""
+        Local mode deliberately excluded: the device certification proves
+        no soft clip IMPROVES the winner, but the reference clips on
+        EQUAL-score ties (zero-score prefixes/suffixes), which moves
+        positions and can flip the pair classification — enabling the
+        fast path here measured 97.7% -> 95.3% paired-local parity on
+        the 600-pair golden (round 3), so local pairs keep the
+        traceback path."""
         B = st1.B
         zero = np.zeros(B, bool)
+        if self.up.sc.local:
+            return zero, None, None
         out_sc, out_ci, singles, offs, fws, lens = [], [], [], [], [], []
         for st in (st1, st2):
             res = getattr(st, "sel", None)

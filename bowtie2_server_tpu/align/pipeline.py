@@ -670,8 +670,12 @@ class UnpairedAligner:
         if ss is not None:
             ss = np.asarray(ss, bool)
             if ss.any():
-                drop = ss[res.c_read] & (st.best != meta["perfect"][
-                    res.c_read])
+                # keep perfect hits AND ungapped full-length <=1-sub hits
+                # (the up-front exact + 1mm stages run seed-free in the
+                # reference — see candgen stage 7)
+                drop = (ss[res.c_read]
+                        & (st.best != meta["perfect"][res.c_read])
+                        & ~(res.c_ungapped & (res.c_nm <= 1)))
                 st.best[drop] = NEG_INF
         return st
 

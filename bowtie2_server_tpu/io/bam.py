@@ -152,3 +152,116 @@ def iter_bam(path, batch_size: int = 4096, keep_paired_flags: bool = False):
             names, seqs, quals = [], [], []
     if names:
         yield make_batch(names, seqs, quals)
+
+
+# ------------------------------------------------------------- BAM output -
+
+def _bgzf_compress(data: bytes) -> bytes:
+    """One BGZF block wrapping `data` (<= 64 KB)."""
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cd = c.compress(data) + c.flush()
+    bsize = len(cd) + 25
+    out = struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6)
+    out += struct.pack("<BBHH", 66, 67, 2, bsize)
+    out += cd + struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))
+    return out
+
+
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """SAM-spec distance-binning (used for the BAM `bin` field)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BamWriter:
+    """Native BAM output (the role the reference wrapper delegates to
+    `samtools view -b`, bowtie2-server:495-505 — kept in-process here).
+    Feed SAM text: the header first, then one record line at a time."""
+
+    def __init__(self, fh, header_text: str, ref_names, ref_lens):
+        self._fh = fh
+        self._refs = {n: i for i, n in enumerate(ref_names)}
+        hdr = b"BAM\x01" + struct.pack("<i", len(header_text)) \
+            + header_text.encode()
+        hdr += struct.pack("<i", len(ref_names))
+        for n, l in zip(ref_names, ref_lens):
+            nb = str(n).encode() + b"\0"
+            hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", int(l))
+        self._buf = bytearray()
+        self._emit(hdr)
+
+    def _emit(self, data: bytes):
+        self._buf += data
+        while len(self._buf) >= 60000:
+            self._fh.write(_bgzf_compress(bytes(self._buf[:60000])))
+            del self._buf[:60000]
+
+    def write_sam_line(self, line: str):
+        f = line.rstrip("\n").split("\t")
+        name, flag, rname, pos, mapq, cigar = (
+            f[0], int(f[1]), f[2], int(f[3]), int(f[4]), f[5])
+        rnext, pnext, tlen, seq, qual = f[6], int(f[7]), int(f[8]), f[9], \
+            f[10]
+        refid = self._refs.get(rname, -1)
+        nrefid = (refid if rnext == "=" else self._refs.get(rnext, -1))
+        cig = []
+        if cigar != "*":
+            num = ""
+            for ch in cigar:
+                if ch.isdigit():
+                    num += ch
+                else:
+                    cig.append((int(num) << 4) | _CIGAR_OPS.index(ch))
+                    num = ""
+        ref_span = sum(c >> 4 for c in cig
+                       if _CIGAR_OPS[c & 0xF] in "MDN=X") or 1
+        nb = name.encode() + b"\0"
+        rec = struct.pack(
+            "<iiBBHHHiiii", refid, pos - 1, len(nb), mapq,
+            _reg2bin(max(pos - 1, 0), max(pos - 1, 0) + ref_span),
+            len(cig), flag, 0 if seq == "*" else len(seq), nrefid,
+            pnext - 1, tlen)
+        rec += nb
+        rec += b"".join(struct.pack("<I", c) for c in cig)
+        if seq != "*":
+            s4 = bytearray((len(seq) + 1) // 2)
+            for i, ch in enumerate(seq):
+                v = _C4.get(ch, 15)
+                s4[i // 2] |= v << (4 if i % 2 == 0 else 0)
+            rec += bytes(s4)
+            rec += (bytes(255 for _ in seq) if qual == "*"
+                    else bytes(min(ord(q) - 33, 93) for q in qual))
+        for tag in f[11:]:
+            t, typ, val = tag.split(":", 2)
+            if typ == "i":
+                rec += t.encode() + b"i" + struct.pack("<i", int(val))
+            elif typ == "f":
+                rec += t.encode() + b"f" + struct.pack("<f", float(val))
+            elif typ == "A":
+                rec += t.encode() + b"A" + val[:1].encode()
+            else:  # Z (and anything else as string)
+                rec += t.encode() + b"Z" + val.encode() + b"\0"
+        self._emit(struct.pack("<i", len(rec)) + rec)
+
+    def close(self):
+        if self._buf:
+            self._fh.write(_bgzf_compress(bytes(self._buf)))
+            self._buf.clear()
+        self._fh.write(_BGZF_EOF)
+        self._fh.flush()
