@@ -68,7 +68,8 @@ def test_full_paired_e2e(tmp_path, lambda_idx):
     out = tmp_path / "ours.sam"
     _run_align(lambda_idx, out, "-1", str(READS / "reads_1.fq"),
                "-2", str(READS / "reads_2.fq"))
-    assert _rate(golden, out, paired=True) >= 0.995
+    # 99.89% measured after the seed_skip 1mm-anchor fix (round 3)
+    assert _rate(golden, out, paired=True) >= 0.9975
 
 
 def test_full_paired_local(tmp_path, lambda_idx):
