@@ -251,7 +251,8 @@ def cmd_align(args):
                                  con_uni=sum(1 for p1, _ in pairs
                                              if p1.proper),
                                  dis=sum(1 for p1, _ in pairs
-                                         if p1.yt == "DP"))
+                                         if p1.yt == "DP"),
+                                 **getattr(pal, "last_metrics", {}))
         for fl in (unc_f or []) + (alc_f or []):
             fl.close()
     elif args.interleaved:

@@ -411,6 +411,12 @@ class PairedAligner:
         st2 = self.up.collect(b2, boost=both_ok,
                               seed_skip=both_ok & st1.seeds_failed_r0)
         B = st1.B
+        # per-batch --met counters, both mates summed (ref: the paired
+        # halves of the PerfMetrics merge, bt2_search.cpp:3229-3248)
+        m1 = getattr(st1.recs, "metrics", {})
+        m2 = getattr(st2.recs, "metrics", {})
+        self.last_metrics = {k: m1.get(k, 0) + m2.get(k, 0)
+                             for k in set(m1) | set(m2)}
         # fast-pair shortcut: both mates have exactly one (ungapped,
         # interior, untied) candidate and the pair classifies concordant on
         # exact offsets — the dominant case; skips the per-read python
@@ -440,6 +446,7 @@ class PairedAligner:
             if scored2[i] and not st1.filtered[i]:
                 jobs += [("1", i, opp_fw, wl, wr) for (_, _, opp_fw, wl, wr)
                          in self._rescue_jobs(st2, st1, i, scored2[i], b1)]
+        self.last_metrics["dp_mate"] = len(jobs)   # DPMate* TSV columns
         if jobs:
             self._run_rescue(jobs, st1, st2, b1, b2)
             # recompute scored/combos for affected reads
