@@ -40,7 +40,8 @@ def cmd_build(args):
         # interchange format, byte-identical to bowtie2-build defaults
         # (ref: bt2_io.cpp:801 writeFromMemory; tests/test_bt2_writer.py)
         from .index.bt2_writer import write_bt2_from_fasta
-        write_bt2_from_fasta(args.ref, args.base)
+        write_bt2_from_fasta(args.ref, args.base, off_rate=args.offrate,
+                             ftab_chars=args.ftabchars)
         print(f"built .bt2 index {args.base} in {time.time()-t0:.1f}s",
               file=sys.stderr)
         return
@@ -513,6 +514,12 @@ def main(argv=None):
     pb = sub.add_parser("build")
     pb.add_argument("ref")
     pb.add_argument("base")
+    pb.add_argument("-o", "--offrate", type=int, default=4,
+                    help="SA sampling exponent for --bt2 output "
+                    "(ref: bowtie2-build -o)")
+    pb.add_argument("-t", "--ftabchars", type=int, default=10,
+                    help="ftab k-mer length for --bt2 output "
+                    "(ref: bowtie2-build -t)")
     pb.add_argument("--bt2", action="store_true",
                     help="emit the reference .bt2 six-file format "
                     "(byte-identical to bowtie2-build defaults) instead "

@@ -83,7 +83,8 @@ def _pack_2bit(codes: np.ndarray, out_len: int) -> np.ndarray:
             ).astype(np.uint8)
 
 
-def _build_direction_files(joined, off_dt, osz, off_rate):
+def _build_direction_files(joined, off_dt, osz, off_rate,
+                           ftab_chars):
     """ebwt side bytes, zOff, fchr, ftab, eftab, offs for one direction."""
     n = len(joined)
     bwt_len = n + 1
@@ -132,7 +133,7 @@ def _build_direction_files(joined, off_dt, osz, off_rate):
     # :3125-3160). c[key] counts long suffixes (>= k chars); each short
     # suffix is absorbed at the next long suffix's key (or the final
     # ftab entry when trailing).
-    k = FTAB_CHARS
+    k = ftab_chars
     ftab_len = (1 << (2 * k)) + 1
     suf_len = n - sa  # empty row -> 0... (sa==n)
     long_m = suf_len >= k
@@ -169,7 +170,8 @@ def _build_direction_files(joined, off_dt, osz, off_rate):
 
 
 def write_bt2(names, seqs, base: str, large: bool | None = None,
-              off_rate: int = OFF_RATE) -> None:
+              off_rate: int = OFF_RATE,
+              ftab_chars: int = FTAB_CHARS) -> None:
     """Write the 6-file reference-format index for (names, code arrays)."""
     seqs = [np.asarray(s, np.uint8) for s in seqs]
     joined = (np.concatenate([s[s < 4] for s in seqs]) if seqs
@@ -193,7 +195,7 @@ def write_bt2(names, seqs, base: str, large: bool | None = None,
 
     def header(flags: int) -> bytes:
         return (struct.pack("<i", 1) + offu([n])
-                + struct.pack("<5i", LINE_RATE, 2, off_rate, FTAB_CHARS,
+                + struct.pack("<5i", LINE_RATE, 2, off_rate, ftab_chars,
                               -flags))
 
     # rstarts: (joined offset, seq id, ref offset) per nonzero fragment;
@@ -227,7 +229,7 @@ def write_bt2(names, seqs, base: str, large: bool | None = None,
             ("", joined, 1, fw_rows),
             (".rev", joined[::-1].copy(), 1 | _EBWT_ENTIRE_REV, rev_rows)):
         sides, zoff, fchr, ftab, eftab, offs = _build_direction_files(
-            text, off_dt, osz, off_rate)
+            text, off_dt, osz, off_rate, ftab_chars)
         p1 = Path(base + tag + ".1" + ext)
         with open(p1, "wb") as f:
             f.write(header(flags))
