@@ -19,7 +19,8 @@ from pathlib import Path
 import numpy as np
 
 REFERENCE_CPU_READS_PER_S = 31056.0  # measured, see module docstring
-N_READS = 229_376          # 7 batches: 1 warmup + 6 measured
+N_READS = 491_520          # 15 batches: 1 warmup + 14 measured (the
+                           # tunnel's latency jitter needs amortizing)
 READ_LEN = 100
 GENOME_LEN = 4_000_000
 BATCH = 32768
