@@ -222,3 +222,87 @@ def test_concurrent_clients_interleaved(server):
         assert len(results[c]) == n_reads
         for name, pos1 in payloads[c][1].items():
             assert results[c][name] == pos1, name
+
+
+def test_multiworker_server_concurrent(tmp_path):
+    """--workers 2: two device-group workers (4 CPU devices each) serve
+    concurrent connections with round-robin fairness; every connection's
+    stream stays in ITS submission order and positions are correct
+    (ref: SURVEY §2.3 row 3 scale-out; server/dispatch.py)."""
+    import asyncio
+
+    from bowtie2_server_tpu.index.build import build_index
+    from bowtie2_server_tpu.server.bt2srv import Bt2Server
+    from bowtie2_server_tpu.server.client import Bt2Client
+    from bowtie2_server_tpu.utils import dna
+
+    idx = build_index("/root/reference/example/reference/lambda_virus.fa")
+    base = tmp_path / "mw_idx"
+    idx.save(base)
+    srv = Bt2Server(str(base), index_name="lambda", batch_size=32,
+                    engine="xla", n_workers=2)
+    assert srv._dispatch.n_workers == 2
+
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    hold = {}
+
+    async def run():
+        s = await asyncio.start_server(srv.handle, "127.0.0.1", 0,
+                                       limit=1 << 20)
+        hold["port"] = s.sockets[0].getsockname()[1]
+        hold["ev"] = asyncio.Event()
+        started.set()
+        async with s:
+            await hold["ev"].wait()
+
+    t = threading.Thread(target=lambda: loop.run_until_complete(run()),
+                         daemon=True)
+    t.start()
+    assert started.wait(10)
+    try:
+        rng = np.random.default_rng(31)
+        n_clients, n_reads = 3, 100   # > batch 32 -> several packs each
+        payloads = []
+        for c in range(n_clients):
+            rows, want = [], {}
+            for i in range(n_reads):
+                s = int(rng.integers(0, idx.n - 70))
+                rows.append((f"w{c}r{i}",
+                             dna.decode(idx.joined[s : s + 70]), "I" * 70))
+                want[f"w{c}r{i}"] = s + 1
+            payloads.append((rows, want))
+        results = [None] * n_clients
+        errors = []
+
+        def run_client(c):
+            try:
+                cl = Bt2Client("127.0.0.1", hold["port"], "lambda")
+                cl.send_reads(payloads[c][0])
+                order, got = [], {}
+                for line in cl.finish():
+                    f = line.split("\t")
+                    order.append(f[0])
+                    got[f[0]] = int(f[3])
+                results[c] = (order, got)
+            except Exception as e:
+                errors.append((c, e))
+
+        threads = [threading.Thread(target=run_client, args=(c,))
+                   for c in range(n_clients)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(180)
+        assert not errors, errors
+        for c in range(n_clients):
+            assert results[c] is not None, f"client {c} hung"
+            order, got = results[c]
+            # stream order == submission order (deterministic merge)
+            assert order == [r[0] for r in payloads[c][0]]
+            for name, pos1 in payloads[c][1].items():
+                assert got[name] == pos1, name
+    finally:
+        loop.call_soon_threadsafe(hold["ev"].set)
+        t.join(10)
+        loop.close()
