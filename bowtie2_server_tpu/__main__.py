@@ -75,6 +75,27 @@ def cmd_align(args):
         _, loader = detect_index(args.index)
         idx = loader(args.index)
     sc, polkw = preset_params(args.preset, args.local)
+    # scoring flags share the preset/policy-string engine (ref:
+    # aligner_seed_policy.cpp:356-660 — CLI flags append policy tokens)
+    from .utils.presets import apply_policy_string
+    toks = []
+    if args.ma is not None:
+        toks.append(f"MA={args.ma}")
+    if args.mp is not None:
+        toks.append(f"MMP=Q,{args.mp.replace(',', ',')}"
+                    if "," in args.mp else f"MMP=C{args.mp}")
+    if args.np_pen is not None:
+        toks.append(f"NP={args.np_pen}")
+    if args.rdg is not None:
+        toks.append(f"RDG={args.rdg}")
+    if args.rfg is not None:
+        toks.append(f"RFG={args.rfg}")
+    if args.n_ceil is not None:
+        toks.append(f"NCEIL={args.n_ceil}")
+    if args.policy:
+        toks.append(args.policy)
+    if toks:
+        sc, polkw = apply_policy_string(";".join(toks), sc, polkw)
     if args.ignore_quals:
         sc = sc.with_ignore_quals()
     if args.score_min:
@@ -552,6 +573,21 @@ def main(argv=None):
     pa.add_argument("--ignore-quals", dest="ignore_quals",
                     action="store_true")
     pa.add_argument("--score-min", dest="score_min", default=None)
+    pa.add_argument("--ma", type=int, default=None,
+                    help="match bonus (ref: MA policy token)")
+    pa.add_argument("--mp", default=None,
+                    help="MX[,MN] max/min mismatch penalty (ref: MMP)")
+    pa.add_argument("--np", dest="np_pen", type=int, default=None,
+                    help="penalty for N in read or reference (ref: NP)")
+    pa.add_argument("--rdg", default=None,
+                    help="read gap open,extend penalties (ref: RDG)")
+    pa.add_argument("--rfg", default=None,
+                    help="ref gap open,extend penalties (ref: RFG)")
+    pa.add_argument("--n-ceil", dest="n_ceil", default=None,
+                    help="max Ns function, e.g. L,0,0.15 (ref: NCEIL)")
+    pa.add_argument("--policy", default=None,
+                    help="raw ';'-separated policy string "
+                    "(ref: aligner_seed_policy.cpp)")
     pa.add_argument("-L", dest="seedlen", type=int, default=None)
     pa.add_argument("-i", dest="ival", default=None)
     pa.add_argument("-R", dest="rounds", type=int, default=None)
