@@ -52,6 +52,22 @@ def cmd_build(args):
           f"in {time.time()-t0:.1f}s", file=sys.stderr)
 
 
+def _tab6_is_paired(path) -> bool:
+    """Peek whether a tab5/tab6 file carries mate-2 columns (>= 6 fields)."""
+    try:
+        from .io.fastq import _open_maybe_compressed
+        with _open_maybe_compressed(path) as f:
+            for line in f:
+                if isinstance(line, str):
+                    line = line.encode()
+                line = line.rstrip(b"\r\n")
+                if line:
+                    return len(line.split(b"\t")) >= 6
+    except OSError:
+        pass
+    return False
+
+
 def cmd_align(args):
     if args.cpu:
         _force_cpu()
@@ -66,6 +82,20 @@ def cmd_align(args):
     from .utils.presets import preset_params
     from .utils.simple_func import SimpleFunc
 
+    # --end-to-end/--local exclusivity; *-local preset aliases imply --local
+    # (ref: ARG_PRESET_*_LOCAL cases fall through localAlign = true)
+    if getattr(args, "preset_local", None):
+        args.preset = args.preset_local
+        args.local = True
+    if args.bwa_sw_like:
+        args.local = True
+    if args.end_to_end and args.local:
+        sys.exit("Error: --end-to-end and --local are mutually exclusive")
+    if args.trim_to is not None and (args.trim5 or args.trim3):
+        # ref: bt2_search.cpp:1226 "--trim-to and --trim3/--trim5"
+        sys.exit("Error: --trim-to and --trim3/--trim5 are mutually "
+                 "exclusive")
+
     if args.ref_string:
         # --ref-string: build a throwaway index from the given sequence
         # (ref: bowtie2-server wrapper:430-443)
@@ -79,6 +109,24 @@ def cmd_align(args):
     # aligner_seed_policy.cpp:356-660 — CLI flags append policy tokens)
     from .utils.presets import apply_policy_string
     toks = []
+    if args.bwa_sw_like:
+        # ref: bt2_search.cpp:1099-1110 ARG_BWA_SW_LIKE
+        toks.append("MA=1;MMP=C3;RDG=5,2;RFG=5,2")
+    if getattr(args, "noisy_hpoly", False) and args.rdg is None \
+            and args.rfg is None:
+        # --454/--ion-torrent: homopolymer-tolerant gap penalties
+        # (ref: noisyHpolymer -> *_BADHPOLY defaults, scoring.h:73-82)
+        toks.append("RDG=3,1;RFG=3,1")
+    if args.multiseed:
+        ms = args.multiseed.split(",")
+        if not 1 <= len(ms) <= 5:
+            sys.exit("Error: expected 5 or fewer comma-separated "
+                     f"arguments to --multiseed, got {len(ms)}")
+        toks.append(f"SEED={ms[0]}")
+        if len(ms) > 1:
+            toks.append(f"SEEDLEN={ms[1]}")
+        if len(ms) > 2:
+            toks.append("IVAL=" + ",".join(ms[2:5]))
     if args.ma is not None:
         toks.append(f"MA={args.ma}")
     if args.mp is not None:
@@ -100,6 +148,18 @@ def cmd_align(args):
         sc = sc.with_ignore_quals()
     if args.score_min:
         sc = replace(sc, score_min=SimpleFunc.parse(args.score_min))
+    if args.gbar is not None:
+        sc = replace(sc, gapbar=args.gbar)
+    if args.bwa_sw_like:
+        sc = replace(sc, bwa_sw_like=True)
+    if args.fail_streak is not None:
+        polkw["dp_streak"] = args.fail_streak
+    if args.seed_boost is not None:
+        polkw["boost_thresh"] = args.seed_boost
+    if args.exact_upfront is not None:
+        polkw["no_exact_upfront"] = not args.exact_upfront
+    if args.mm1_upfront is not None:
+        polkw["no_1mm_upfront"] = not args.mm1_upfront
     if args.seedlen:
         polkw["seed_len"] = args.seedlen
     if args.ival:
@@ -129,15 +189,50 @@ def cmd_align(args):
     qual_conv = make_qual_conv(phred64=args.phred64, solexa=args.solexa,
                                int_quals=args.int_quals)
 
-    hdr_text = sam_header(idx.ref_names, idx.ref_lens, " ".join(sys.argv),
-                          rg_id=args.rg_id, rg_fields=args.rg)
+    # --sample: keep a read iff LCG(ROTL(per-read content seed, 2))'s
+    # first float < frac (exact port of bt2_search.cpp:3219-3222; pairs
+    # sample on mate 1's seed like the reference's read_a().seed)
+    sample_on = args.sample is not None and args.sample < 1.0
+
+    def _sample_keep(b):
+        import numpy as np
+        from .utils.rng import RandomSource, gen_rand_seeds_batch
+        seeds = gen_rand_seeds_batch(
+            b.seqs, b.lens, np.clip(b.quals + 33, 33, 255),
+            [nm.encode() if isinstance(nm, str) else nm for nm in b.names],
+            args.seed)
+        keep = []
+        for i, s in enumerate(seeds):
+            s = int(s)
+            r = RandomSource(((s << 2) | (s >> 30)) & 0xFFFFFFFF)
+            if r.next_float() < args.sample:
+                keep.append(i)
+        return keep
+
+    def _sample_pair(b1, b2):
+        from .io.fastq import subset_batch
+        keep = _sample_keep(b1)
+        return subset_batch(b1, keep), subset_batch(b2, keep)
+
+    # --refidx: numeric RNAMEs; --fullref: keep whitespace in names
+    # (default truncates at first whitespace, ref: ARG_REFIDX/ARG_FULLREF)
+    if args.refidx:
+        disp_names = [str(i) for i in range(len(idx.ref_names))]
+    elif args.fullref:
+        disp_names = list(idx.ref_names)
+    else:
+        disp_names = [n.split()[0] if n.split() else n
+                      for n in idx.ref_names]
+    hdr_text = sam_header(disp_names, idx.ref_lens, " ".join(sys.argv),
+                          rg_id=args.rg_id, rg_fields=args.rg,
+                          no_head=args.sam_no_head, no_sq=args.sam_no_sq)
     bam_w = None
     if args.output_bam:
         # native BAM output (the wrapper delegates this to `samtools
         # view -b`, bowtie2-server:495-505; we encode in-process)
         from .io.bam import BamWriter
         raw = open(args.S, "wb") if args.S else sys.stdout.buffer
-        bam_w = BamWriter(raw, hdr_text, idx.ref_names, idx.ref_lens)
+        bam_w = BamWriter(raw, hdr_text, disp_names, idx.ref_lens)
         out = raw
     else:
         out = open(args.S, "w") if args.S else sys.stdout
@@ -175,19 +270,36 @@ def cmd_align(args):
         if (args.met_stderr or args.met_file or args.met_per_read) else None
     t0 = time.time()
     n = n_aligned = 0
+    trim_to = None
+    if args.trim_to is not None:
+        v = args.trim_to
+        side = 3
+        if ":" in v:
+            s_, v = v.split(":", 1)
+            if s_ not in ("3", "5"):
+                sys.exit("Error: --trim-to end must be 3 or 5")
+            side = int(s_)
+        n_tt = int(v)
+        if n_tt < 0:
+            sys.exit("Error: --trim-to length must be at least 0")
+        trim_to = (side, n_tt)
     fq_kw = dict(batch_size=args.batch, trim5=args.trim5, trim3=args.trim3,
-                 skip=args.skip, upto=args.upto)
+                 skip=args.skip, upto=args.upto, trim_to=trim_to)
     # extra retention only the FASTQ reader supports
     fastq_kw = dict(fq_kw, keep_comment=args.sam_append_comment,
                     keep_orig=args.passthrough,
                     qname_trunc=not args.sam_no_qname_trunc,
                     qual_conv=qual_conv)
 
+    from .io.sam import parse_sam_opt_config
+    opt_flags = (parse_sam_opt_config(args.sam_opt_config)
+                 if args.sam_opt_config else None)
     sam_kw = dict(xeq=args.xeq, append_comment=args.sam_append_comment,
-                  show_rand_seed=args.show_rand_seed)
+                  show_rand_seed=args.show_rand_seed,
+                  omit_sec_seq=args.omit_sec_seq, opt_flags=opt_flags)
 
     def write_rec(rec):
-        line = sam_record(rec, idx.ref_names, args.rg_id, **sam_kw)
+        line = sam_record(rec, disp_names, args.rg_id, **sam_kw)
         if bam_w is not None:
             bam_w.write_sam_line(line)
             return
@@ -249,6 +361,8 @@ def cmd_align(args):
         alc_f = [_open_out(alc_path.replace("%", str(m)), alc_comp)
                  for m in (1, 2)] if alc_path else None
         for b1, b2 in zip(it1, it2):
+            if sample_on:
+                b1, b2 = _sample_pair(b1, b2)
             pairs = pal.align_batch(b1, b2)
             for r1, r2 in pairs:
                 if not (args.no_unal and not r1.aligned and not r2.aligned):
@@ -277,6 +391,31 @@ def cmd_align(args):
                                  **getattr(pal, "last_metrics", {}))
         for fl in (unc_f or []) + (alc_f or []):
             fl.close()
+    elif args.tab_reads and _tab6_is_paired(
+            args.tab_reads if isinstance(args.tab_reads, str) else args.U):
+        # paired tab6 rows align as pairs (ref: pat.h:843
+        # TabbedPatternSource with secondary mate fields)
+        from .align.paired import PairedAligner, PairedPolicy
+        from .io.fastq import iter_tab_file
+        tabsrc = (args.tab_reads if isinstance(args.tab_reads, str)
+                  else args.U)
+        pe = PairedPolicy(pol=args.orient, minfrag=args.minins,
+                          maxfrag=args.maxins)
+        pal = PairedAligner(idx, scoring=sc, policy=pol, pe=pe,
+                            no_mixed=args.no_mixed,
+                            no_discordant=args.no_discordant)
+        pal.up.mapq_v = args.mapq_v
+        for b1, b2 in iter_tab_file(tabsrc, batch_size=args.batch,
+                                    qual_conv=qual_conv):
+            if sample_on:
+                b1, b2 = _sample_pair(b1, b2)
+            pairs = pal.align_batch(b1, b2)
+            for r1, r2 in pairs:
+                write_rec(r1)
+                write_rec(r2)
+                summ.add_pair(r1, r2)
+            n += 2 * len(pairs)
+            n_aligned += sum(r1.aligned + r2.aligned for r1, r2 in pairs)
     elif args.interleaved:
         from .align.paired import PairedAligner, PairedPolicy
         from .io.fastq import iter_interleaved
@@ -289,6 +428,8 @@ def cmd_align(args):
         for b1, b2 in iter_interleaved(args.interleaved,
                                        batch_size=args.batch,
                                        qual_conv=qual_conv):
+            if sample_on:
+                b1, b2 = _sample_pair(b1, b2)
             pairs = pal.align_batch(b1, b2)
             for r1, r2 in pairs:
                 write_rec(r1)
@@ -304,14 +445,18 @@ def cmd_align(args):
             reads_iter = iter_bam(args.U, batch_size=args.batch)
         elif args.cmdline_reads:
             reads_iter = iter_cmdline_reads(args.cmdline_reads,
-                                            batch_size=args.batch)
+                                            batch_size=args.batch,
+                                            trim5=args.trim5,
+                                            trim3=args.trim3,
+                                            trim_to=trim_to)
         elif args.fasta_reads:
             reads_iter = iter_fasta_reads(args.U, **fq_kw)
         elif args.qseq_reads:
             from .io.fastq import iter_qseq
             reads_iter = iter_qseq(args.U, batch_size=args.batch,
                                    trim5=args.trim5, trim3=args.trim3,
-                                   skip=args.skip, upto=args.upto)
+                                   skip=args.skip, upto=args.upto,
+                                   trim_to=trim_to)
         elif args.fasta_cont:
             from .io.fastq import iter_fasta_continuous
             kv = dict(p.split(":", 1) for p in args.fasta_cont.split(","))
@@ -319,10 +464,14 @@ def cmd_align(args):
                 args.U, length=int(kv["k"]), freq=int(kv.get("i", 1)),
                 batch_size=args.batch)
         elif args.raw_reads:
-            reads_iter = iter_raw_reads(args.U, batch_size=args.batch)
+            reads_iter = iter_raw_reads(args.U, batch_size=args.batch,
+                                        trim5=args.trim5, trim3=args.trim3,
+                                        trim_to=trim_to)
         elif args.tab_reads:
+            tabsrc = (args.tab_reads if isinstance(args.tab_reads, str)
+                      else args.U)
             reads_iter = (b for b, _ in iter_tab_file(
-                args.U, batch_size=args.batch, qual_conv=qual_conv))
+                tabsrc, batch_size=args.batch, qual_conv=qual_conv))
         else:
             reads_iter = iter_fastq(args.U, **fastq_kw)
         al = UnpairedAligner(idx, scoring=sc, policy=pol,
@@ -335,6 +484,12 @@ def cmd_align(args):
             al.timing = {}
         from collections import deque
         from .io.fastq import prefetch
+
+        if sample_on:
+            from .io.fastq import subset_batch
+            base_iter = reads_iter
+            reads_iter = (subset_batch(b, _sample_keep(b))
+                          for b in base_iter)
 
         def batch_results():
             # double-buffered: dispatch device work for the next batch
@@ -350,6 +505,7 @@ def cmd_align(args):
 
         use_native = not (args.passthrough or args.xeq
                           or args.sam_append_comment or args.show_rand_seed
+                          or args.omit_sec_seq or opt_flags
                           or un_f or al_f or bam_w is not None)
         out_b = getattr(out, "buffer", None)
         for recs in batch_results():
@@ -357,7 +513,7 @@ def cmd_align(args):
             if use_native and getattr(recs, "soa", None) is not None:
                 from .io.sam import sam_format_batch_native
                 blob = sam_format_batch_native(
-                    recs, idx.ref_names, args.rg_id, no_unal=args.no_unal)
+                    recs, disp_names, args.rg_id, no_unal=args.no_unal)
             if blob is not None:
                 if out_b is not None:
                     out.flush()
@@ -553,12 +709,31 @@ def main(argv=None):
     pa.add_argument("-U", dest="U", default=None)
     pa.add_argument("-1", dest="m1", default=None)
     pa.add_argument("-2", dest="m2", default=None)
-    pa.add_argument("-S", dest="S", default=None)
+    pa.add_argument("-S", "--output", dest="S", default=None)
     pa.add_argument("--local", action="store_true")
+    pa.add_argument("--end-to-end", dest="end_to_end", action="store_true",
+                    help="end-to-end alignment mode (the default; "
+                    "mutually exclusive with --local; ref: ARG_END_TO_END)")
     pa.add_argument("--preset", default=None,
                     help="very-fast|fast|sensitive|very-sensitive[-local]")
+    pa.add_argument("--very-fast", dest="preset", action="store_const",
+                    const="very-fast")
+    pa.add_argument("--fast", dest="preset", action="store_const",
+                    const="fast")
+    pa.add_argument("--sensitive", dest="preset", action="store_const",
+                    const="sensitive")
+    pa.add_argument("--very-sensitive", dest="preset", action="store_const",
+                    const="very-sensitive")
+    pa.add_argument("--very-fast-local", dest="preset_local",
+                    action="store_const", const="very-fast")
+    pa.add_argument("--fast-local", dest="preset_local",
+                    action="store_const", const="fast")
+    pa.add_argument("--sensitive-local", dest="preset_local",
+                    action="store_const", const="sensitive")
+    pa.add_argument("--very-sensitive-local", dest="preset_local",
+                    action="store_const", const="very-sensitive")
     pa.add_argument("--cpu", action="store_true")
-    pa.add_argument("--batch", type=int, default=2048)
+    pa.add_argument("--batch", "--reads-per-batch", type=int, default=2048)
     pa.add_argument("-k", dest="khits", type=int, default=1)
     pa.add_argument("-a", dest="all_hits", action="store_true")
     pa.add_argument("-N", dest="seed_mms", type=int, default=0,
@@ -598,8 +773,73 @@ def main(argv=None):
                     "maxhalf/--dpad)")
     pa.add_argument("-5", "--trim5", dest="trim5", type=int, default=0)
     pa.add_argument("-3", "--trim3", dest="trim3", type=int, default=0)
+    pa.add_argument("--trim-to", dest="trim_to", default=None,
+                    help="[3:|5:]N — trim reads longer than N to N bases "
+                    "from the given end (default 3'); mutually exclusive "
+                    "with -3/-5 (ref: bt2_search.cpp:1219 ARG_TRIM_TO)")
     pa.add_argument("-s", "--skip", dest="skip", type=int, default=0)
-    pa.add_argument("-u", "--upto", dest="upto", type=int, default=None)
+    pa.add_argument("-u", "--upto", "--qupto", dest="upto", type=int,
+                    default=None)
+    pa.add_argument("--sample", type=float, default=None,
+                    help="align only this random fraction of reads, "
+                    "chosen by the per-read content seed "
+                    "(ref: sampleFrac, bt2_search.cpp:3219)")
+    pa.add_argument("--gbar", type=int, default=None,
+                    help="disallow gaps within this many bases of the "
+                    "read ends (default 4; ref: scoring.h gapbar)")
+    pa.add_argument("-D", "--fail-streak", dest="fail_streak", type=int,
+                    default=None,
+                    help="consecutive failed extend attempts before "
+                    "giving up on a read (ref: maxDpStreak/-D, "
+                    "bt2_search.cpp:1740)")
+    pa.add_argument("--dp-fail-streak", dest="fail_streak", type=int,
+                    help="alias of -D for the DP streak "
+                    "(ref: ARG_DP_FAIL_STREAK_THRESH)")
+    pa.add_argument("--seed-boost", dest="seed_boost", type=int,
+                    default=None,
+                    help="reseed when avg hits per nonzero seed >= this "
+                    "(default 300; ref: seedBoostThresh)")
+    pa.add_argument("--exact-upfront", dest="exact_upfront",
+                    action="store_true", default=None,
+                    help="do the up-front exact sweep (default on)")
+    pa.add_argument("--no-exact-upfront", dest="exact_upfront",
+                    action="store_false",
+                    help="skip the up-front exact full-read sweep "
+                    "(ref: doExactUpFront, bt2_search.cpp:3454)")
+    pa.add_argument("--1mm-upfront", dest="mm1_upfront",
+                    action="store_true", default=None,
+                    help="do the up-front 1-mismatch search (default on)")
+    pa.add_argument("--no-1mm-upfront", dest="mm1_upfront",
+                    action="store_false",
+                    help="skip the up-front 1-mismatch end-to-end search "
+                    "(ref: do1mmUpFront, bt2_search.cpp:3634)")
+    pa.add_argument("--1mm-minlen", type=int, default=60,
+                    help="accepted for compatibility (parsed but unused "
+                    "by the reference too: do1mmMinLen is set at "
+                    "bt2_search.cpp:1438 and never consulted)")
+    pa.add_argument("--refidx", action="store_true",
+                    help="print reference index (0-based ordinal) instead "
+                    "of the reference name in SAM (ref: ARG_REFIDX)")
+    pa.add_argument("--fullref", action="store_true",
+                    help="print the whole reference name including "
+                    "whitespace (default: truncate at first whitespace; "
+                    "ref: ARG_FULLREF)")
+    pa.add_argument("--sam-no-head", "--sam-nohead", "--sam-noHD",
+                    "--sam-no-hd", "--no-head", "--no-hd", "--no-HD",
+                    dest="sam_no_head", action="store_true",
+                    help="suppress all SAM header lines "
+                    "(ref: ARG_SAM_NOHEAD)")
+    pa.add_argument("--sam-no-sq", "--sam-nosq", "--sam-noSQ", "--no-sq",
+                    "--no-SQ", dest="sam_no_sq", action="store_true",
+                    help="suppress @SQ header lines (ref: ARG_SAM_NOSQ)")
+    pa.add_argument("--omit-sec-seq", "--sam-omit-sec-seq",
+                    dest="omit_sec_seq", action="store_true",
+                    help="print * for SEQ/QUAL of secondary alignments "
+                    "(ref: ARG_SAM_OMIT_SEC_SEQ)")
+    pa.add_argument("--sam-opt-config", dest="sam_opt_config", default=None,
+                    help="comma-separated optional-tag toggles, 'tag' "
+                    "enables and '-tag' disables, e.g. '-md,-xs' "
+                    "(ref: sam.h:162 toggleOptFlagByName)")
     pa.add_argument("-I", "--minins", dest="minins", type=int, default=0)
     pa.add_argument("-X", "--maxins", dest="maxins", type=int, default=500)
     pa.add_argument("--fr", dest="orient", action="store_const",
@@ -701,8 +941,12 @@ def main(argv=None):
                     help="reads are raw one-per-line")
     pa.add_argument("-c", dest="cmdline_reads", default=None,
                     help="comma-separated reads on the command line")
-    pa.add_argument("--tab5", "--tab6", dest="tab_reads",
-                    action="store_true", help="reads are tab5/tab6")
+    pa.add_argument("--tab5", "--tab6", "--12", dest="tab_reads",
+                    nargs="?", const=True, default=None,
+                    help="reads are tab5/tab6; with a value, that file is "
+                    "the input (ref: ARG_TAB5/ARG_TAB6/ARG_ONETWO)")
+    pa.add_argument("-q", dest="fastq_reads", action="store_true",
+                    help="reads are FASTQ (the default)")
     pa.add_argument("--interleaved", default=None,
                     help="interleaved paired FASTQ file")
     pa.add_argument("-b", "--bam", action="store_true",
@@ -715,6 +959,111 @@ def main(argv=None):
                     action="store_true",
                     help="align paired BAM records as pairs "
                     "(ref: pat.h:1074)")
+    pa.add_argument("--454", "--ion-torrent", dest="noisy_hpoly",
+                    action="store_true",
+                    help="homopolymer-tolerant gap penalties RDG=3,1 "
+                    "RFG=3,1 (ref: noisyHpolymer, scoring.h:73-82)")
+    pa.add_argument("--multiseed", default=None,
+                    help="mms,len,ival[,extra] — set -N, -L and -i in one "
+                    "flag (ref: ARG_MULTISEED_IVAL -> SEED/IVAL policy "
+                    "tokens)")
+    pa.add_argument("--bwa-sw-like", dest="bwa_sw_like",
+                    action="store_true",
+                    help="BWA-SW-like scoring: local with MA=1, MMP=C3, "
+                    "RDG=5,2, RFG=5,2, MIN=C,1 (ref: bwaSwLike, "
+                    "bt2_search.cpp:1421-1432)")
+    pa.add_argument("--no-dovetail", dest="dovetail",
+                    action="store_false",
+                    help="dovetailing pairs are not concordant (default)")
+    pa.add_argument("--contain", dest="no_contain", action="store_false",
+                    help="a mate containing the other is concordant "
+                    "(default)")
+    pa.add_argument("--overlap", dest="no_overlap", action="store_false",
+                    help="overlapping mates are concordant (default)")
+    # ---- accepted no-ops (structural in this design; see README compat
+    # table). Each names the reference knob it would map to. ----
+    for flag, why in (
+            ("--ungapped", "ungapped extension is certified on device for "
+             "every candidate already"),
+            ("--no-ungapped", "DP scores ungapped alignments identically"),
+            ("--sse8", "Pallas int32 lanes replace SSE u8"),
+            ("--no-sse8", "Pallas int32 lanes replace SSE i16"),
+            ("--cache", "batch dedup replaces the seed cache"),
+            ("--no-cache", "batch dedup replaces the seed cache"),
+            ("--mm", "the index is HBM-resident, shared across batches"),
+            ("--shmem", "the index is HBM-resident"),
+            ("--filepar", "input is batch-pipelined"),
+            ("--tri", "the banded kernel needs no checkpoint triangles"),
+            ("--read-times", "per-batch timing rides -t"),
+            ("--scan-narrowed", "SA resolution is exhaustive, not lazy"),
+            ("--sanity", "differential tests replace in-process checks"),
+            ("--verbose", "diagnostics go to stderr already"),
+            ("--startverbose", "diagnostics go to stderr already"),
+            ("--mapq-extra", "MAPQ inputs ride --mapq-print-inputs"),
+            ("--no-extend", "seed hits are always DP-extended in batch"),
+    ):
+        pa.add_argument(flag, action="store_true",
+                        help=f"accepted for compatibility; no-op: {why}")
+    for flag, why in (
+            ("--cachelim", "batch dedup replaces the seed cache"),
+            ("--cachesz", "batch dedup replaces the seed cache"),
+            ("--local-seed-cache-sz", "batch dedup replaces the cache"),
+            ("--seed-cache-sz", "batch dedup replaces the cache"),
+            ("--cp-min", "the banded kernel stores O(L*K), no checkpoints"),
+            ("--cp-ival", "the banded kernel stores O(L*K)"),
+            ("--ee-fail-streak", "exact sweep is one fused batch op"),
+            ("--ug-fail-streak", "ungapped certification is free on "
+             "device"),
+            ("--dp-fails", "DP runs batched, -D caps the retry loop"),
+            ("--ug-fails", "ungapped certification is free on device"),
+            ("--extends", "extension is one batched DP"),
+            ("--tighten", "ReportingState tightening is structural"),
+            ("-O", "parsed but unused by the reference too "
+             "(multiseedOff, bt2_search.cpp:224)"),
+            ("--seed-off", "parsed but unused by the reference too"),
+            ("--thread-ceiling", "batching replaces thread elasticity"),
+            ("--thread-piddir", "batching replaces thread elasticity"),
+    ):
+        pa.add_argument(flag, default=None,
+                        help=f"accepted for compatibility; no-op: {why}")
+
+    # ---- explicitly rejected (no silent accepts): each errors with the
+    # reason. See README compat table. ----
+    class _Reject(argparse.Action):
+        def __call__(self, parser, ns, values, option_string=None):
+            parser.error(f"{option_string} is not supported: {self.help}")
+
+    for flag, why in (
+            ("--bowtie2p5", "the deprecated 2.5 descent engine "
+             "(aligner_seed2.cpp) is out of scope; use the default "
+             "multiseed engine"),
+            ("--desc-kb", "2.5 descent engine knob (see --bowtie2p5)"),
+            ("--desc-landing", "2.5 descent engine knob"),
+            ("--desc-exp", "2.5 descent engine knob"),
+            ("--desc-prioritize", "2.5 descent engine knob"),
+            ("--desc-fmops", "2.5 descent engine knob"),
+            ("--test-25", "2.5 descent engine knob"),
+            ("--sra-acc", "SRA input needs the NCBI SRA toolkit, which "
+             "is optional in the reference too (USE_SRA)"),
+            ("--hadoopout", "legacy Hadoop streaming output"),
+            ("--partition", "legacy partitioned output"),
+            ("--snpphred", "legacy SNP-aware colorspace option"),
+            ("--snpfrac", "legacy SNP-aware colorspace option"),
+            ("--orig", "legacy sanity-check option"),
+            ("--pause", "debugger aid"),
+            ("--mmsweep", "mmap page-sweep; index is HBM-resident"),
+            ("--seed-summ", "per-seed summary debug dump"),
+            ("--seed-summary", "per-seed summary debug dump"),
+            ("--overhang", "reference-overhanging alignments are "
+             "filtered, as in the reference default"),
+            ("-Q", "bowtie1-era FASTA+quals input; provide FASTQ "
+             "instead"),
+            ("--quals", "bowtie1-era FASTA+quals input; provide FASTQ"),
+            ("--Q1", "bowtie1-era FASTA+quals input; provide FASTQ"),
+            ("--Q2", "bowtie1-era FASTA+quals input; provide FASTQ"),
+    ):
+        pa.add_argument(flag, nargs="?", action=_Reject, help=why,
+                        metavar="")
     pa.set_defaults(fn=cmd_align)
 
     pi = sub.add_parser("inspect")
@@ -739,10 +1088,10 @@ def main(argv=None):
 
     pc = sub.add_parser("client")
     import os as _os
-    pc.add_argument("--host",
+    pc.add_argument("--host", "--server-host",
                     default=_os.environ.get("BT2CLT_SERVER_HOST",
                                             "localhost"))
-    pc.add_argument("--port", type=int,
+    pc.add_argument("--port", "--server-port", type=int,
                     default=int(_os.environ.get("BT2CLT_SERVER_PORT",
                                                 "8080")))
     pc.add_argument("-x", dest="index", default="index")

@@ -86,10 +86,18 @@ class CandGenCfg(NamedTuple):
     sw: SwConfig
     engine: str       # 'xla' | 'pallas' | 'nodp' (debug)
     has_short: bool = False   # general bidirectional shape (see module doc)
+    kmer_mode: str = "sorted"  # 'cuckoo' (2 independent row gathers) or
+                               # 'sorted' (binary-search fallback)
     kmer_steps: int = 1       # binary-search trip count of the seed table
     n_hi: int = 16            # key split of the seed table
     n_lo: int = 6
     bbits: int = 20
+    tbits: int = 0            # cuckoo bucket bits
+    salt: int = 0             # cuckoo hash salt
+    RS: int = 0               # reseed-round lane-compaction capacity:
+                              # rounds >= 1 run for <1% of reads, so their
+                              # lookup lanes are compacted to RS before the
+                              # (gather-costly) table probes; 0 = off
     boost_thresh: int = 300  # ref: bt2_search.cpp:4086 seedBoostThresh
     mmtab_t: tuple = ()      # static mm-penalty-by-quality table
     sched: tuple | None = None  # static per-round seed offsets (uniform
@@ -105,6 +113,10 @@ class CandGenCfg(NamedTuple):
     seed_mms: int = 0           # -N: in-seed substitutions, fused via the
                                 # general shape's per-seed branch search
                                 # (ref: aligner_seed.cpp:668 searchSeedBi)
+    no_exact_up: bool = False   # --no-exact-upfront (ref: doExactUpFront,
+                                # bt2_search.cpp:3454)
+    no_1mm_up: bool = False     # --no-1mm-upfront (ref: do1mmUpFront,
+                                # bt2_search.cpp:3634)
 
 
 class DeviceIndex(NamedTuple):
@@ -373,13 +385,17 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                 jnp.uint32), jnp.uint32(1 << 30))
         exact_mult = jnp.minimum(exact_cnt[:B] + exact_cnt[B:],
                                  jnp.uint32(1 << 30)).astype(jnp.int32)
-        r_lane.append(lane_i)
-        r_depth.append(jnp.zeros(2 * B, jnp.int32))
-        r_top.append(et)
-        r_cnt.append(jnp.minimum(
-            jnp.where(exact_ok, eb - et, jnp.zeros((), rdt)),
-            jnp.asarray(E, rdt)).astype(jnp.int32))
-        r_src.append(jnp.zeros(2 * B, jnp.int32))
+        if not cfg.no_exact_up:
+            # --no-exact-upfront drops the dedicated exact ranges (exact
+            # hits still surface through the seed ranges, as in the
+            # reference where seeds rediscover them)
+            r_lane.append(lane_i)
+            r_depth.append(jnp.zeros(2 * B, jnp.int32))
+            r_top.append(et)
+            r_cnt.append(jnp.minimum(
+                jnp.where(exact_ok, eb - et, jnp.zeros((), rdt)),
+                jnp.asarray(E, rdt)).astype(jnp.int32))
+            r_src.append(jnp.zeros(2 * B, jnp.int32))
 
     # ---- stage 2: substitution branches ----
     if not cfg.has_short:
@@ -407,14 +423,15 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                 max_cnt = jnp.maximum(max_cnt, count)
             return outs, max_cnt
 
+        act_1mm = act2 & jnp.asarray(not cfg.no_1mm_up)
         pat_i8 = both.astype(jnp.int8)
         hits_fw, cnt_fw = one_mm(didx.fw, pat_i8,
-                                 jnp.where(act2, half2, 0), tops, bots)
+                                 jnp.where(act_1mm, half2, 0), tops, bots)
         rev2 = _rev_rows(both, lens2, 5)
         tops_m, bots_m = dfm.backward_search_record_body(
             didx.mirror, rev2, lens2)
         hits_mr, cnt_mr = one_mm(didx.mirror, rev2.astype(jnp.int8),
-                                 jnp.where(act2, lens2 - half2, 0),
+                                 jnp.where(act_1mm, lens2 - half2, 0),
                                  tops_m, bots_m)
         for src, is_m in ((hits_fw, False), (hits_mr, True)):
             for cb, topf, botf, ok in src:
@@ -436,9 +453,20 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     # one only when ALL of a strand's round-0 seed ranges clipped at E
     read_clip = jnp.zeros(B, bool)
 
+    # reseed-compaction overflow watermark (counter slot 8)
+    reseed_max = jnp.int32(0)
+
     if not cfg.has_short:
-        # k-mer position table: rolling keys (no gathers), fixed-trip
-        # binary search (index/kmer.py). All reads here have len >= Ls.
+        # k-mer position table: rolling keys (no gathers) resolved by the
+        # cuckoo-hash table (2 independent 32-byte row gathers per lane,
+        # index/kmer.py) or the sorted-table binary search fallback.
+        # All reads here have len >= Ls.
+        def _seed_lookup(qh, ql):
+            if cfg.kmer_mode == "cuckoo":
+                return kmod.cuckoo_lookup(dkm, qh, ql, cfg.tbits, cfg.salt)
+            return kmod.lookup_body(dkm, qh, ql, cfg.n_hi, cfg.bbits,
+                                    cfg.kmer_steps)
+
         n_hi, n_lo = cfg.n_hi, cfg.n_lo
         codes4f = jnp.where(la_codes <= 3, la_codes, 0).astype(jnp.uint32)
         khi_fw = _rolling_keys(codes4f, n_hi, 0, False)
@@ -517,11 +545,37 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                                  (B, S_r)),
                 jnp.broadcast_to((jnp.arange(B, dtype=jnp.int32)
                                   + B)[:, None], (B, S_r))]).reshape(-1)
-            start, cnt = kmod.lookup_body(dkm, q_hi, q_lo, n_hi,
-                                          cfg.bbits, cfg.kmer_steps)
-            n_seed_ct += jnp.sum(val_all.astype(jnp.int32))
-            cnt = jnp.where(val_all, cnt, 0)
-            hit = val_all & (cnt > 0)
+            Ntot = q_hi.shape[0]
+            if r == 0 or cfg.RS == 0 or cfg.RS >= Ntot:
+                start, cnt = _seed_lookup(q_hi, q_lo)
+                n_seed_ct += jnp.sum(val_all.astype(jnp.int32))
+                cnt = jnp.where(val_all, cnt, 0)
+                st_lane, st_val = lane_all, val_all
+            else:
+                # reseed rounds fire for <1% of reads: compact the active
+                # lanes to cfg.RS rows before the table probes so the
+                # masked majority costs no gathers (overflow -> counter
+                # slot 8 -> host capacity escalation)
+                n_act = jnp.sum(val_all.astype(jnp.int32))
+                reseed_max = jnp.maximum(reseed_max, n_act)
+                sel_r = jnp.nonzero(val_all, size=cfg.RS,
+                                    fill_value=Ntot)[0]
+                ok_c = sel_r < Ntot
+                selc = jnp.clip(sel_r, 0, Ntot - 1)
+                qmat = jnp.stack(
+                    [jax.lax.bitcast_convert_type(q_hi, jnp.int32),
+                     jax.lax.bitcast_convert_type(q_lo, jnp.int32),
+                     dep_all, lane_all], axis=1)          # [Ntot, 4]
+                qr = qmat[selc]                            # [RS, 4] rows
+                start, cnt = _seed_lookup(
+                    jax.lax.bitcast_convert_type(qr[:, 0], jnp.uint32),
+                    jax.lax.bitcast_convert_type(qr[:, 1], jnp.uint32))
+                n_seed_ct += n_act
+                cnt = jnp.where(ok_c, cnt, 0)
+                dep_all = qr[:, 2]
+                lane_all = jnp.clip(qr[:, 3], 0, 2 * B - 1)
+                st_lane, st_val = lane_all, ok_c
+            hit = st_val & (cnt > 0)
             r_lane.append(lane_all)
             r_depth.append(dep_all)
             r_top.append(start.astype(jnp.int32))
@@ -531,15 +585,15 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
             read_of = lane_all % B
             if r == 0:
                 unclip2 = jax.ops.segment_max(
-                    (val_all & (cnt <= E)).astype(jnp.int32), lane_all,
+                    (st_val & (cnt <= E)).astype(jnp.int32), lane_all,
                     num_segments=2 * B) > 0
                 any2 = jax.ops.segment_max(
-                    val_all.astype(jnp.int32), lane_all,
+                    st_val.astype(jnp.int32), lane_all,
                     num_segments=2 * B) > 0
                 allclip2 = any2 & ~unclip2
                 read_clip = allclip2[:B] | allclip2[B:]
             # reseeding stats never include exact-only lanes
-            st_ok = val_all & ~ex_only[read_of]
+            st_ok = st_val & ~ex_only[read_of]
             inst = jax.ops.segment_sum(st_ok.astype(jnp.int32), read_of,
                                        num_segments=B)
             nonz = jax.ops.segment_sum((hit & st_ok).astype(jnp.int32),
@@ -897,8 +951,15 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
         # (exactSweep) AND ungapped full-length hits with <= 1
         # substitution (do1mmUpFront, aligner_seed.cpp:973) — dropping
         # the latter lost mate-rescue anchors (r376-class pairs)
-        sel_ok &= (~ex_only[c_read] | (c_score == perfect[c_read])
-                   | (ungapped_c & (nm_c <= 1)))
+        allow_up = jnp.zeros(sel_ok.shape, bool)
+        if not cfg.no_exact_up:
+            allow_up |= c_score == perfect[c_read]
+        if not cfg.no_1mm_up:
+            # exactly-1-substitution full-length hits (oneMmSearch's set;
+            # nm==0 full-span hits score `perfect` and ride the exact
+            # clause)
+            allow_up |= ungapped_c & (nm_c == 1)
+        sel_ok &= ~ex_only[c_read] | allow_up
     NEG = jnp.int32(NEG_INF)
     sc = jnp.where(sel_ok, c_score, NEG)
     best_sc = _seg_max(sc, c_read, B)
@@ -954,16 +1015,17 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                           n_hit, n_seed_ct,
                           jnp.sum(interior.astype(jnp.int32)),
                           jnp.sum((interior & ungapped_c)
-                                  .astype(jnp.int32))])
+                                  .astype(jnp.int32)),
+                          reseed_max])
     # row 4: [best_pack : B | sec_score : B]; row 5: [exact_mult : B |
-    # pad | counters : last 8] — fits any C_max >= 2B
+    # pad | counters : last 9] — fits any C_max >= 2B
     row4 = jnp.zeros(Cx, jnp.int32)
     row4 = jax.lax.dynamic_update_slice(row4, best_pack, (0,))
     row4 = jax.lax.dynamic_update_slice(
         row4, jnp.maximum(sec_sc, NEG), (B,))
     row5 = jnp.zeros(Cx, jnp.int32)
     row5 = jax.lax.dynamic_update_slice(row5, exact_mult, (0,))
-    row5 = jax.lax.dynamic_update_slice(row5, counters, (Cx - 8,))
+    row5 = jax.lax.dynamic_update_slice(row5, counters, (Cx - 9,))
     # big mode: the biased uint32 diagonal bitcasts through the int32 pack
     # (host decode: .view(uint32) - BIAS, BatchResult)
     row1 = (jax.lax.bitcast_convert_type(c_diag, jnp.int32)
@@ -1037,7 +1099,7 @@ class BatchResult:
             bp_l.append(r4[:Bl])
             sec_l.append(r4[Bl : 2 * Bl])
             mult_l.append(r5[:Bl])
-            ctr.append(r5[Cl - 8 :])
+            ctr.append(r5[Cl - 9 :])
         bp = np.concatenate(bp_l)[:B0]
         sec = np.concatenate(sec_l)[:B0]
         mult = np.concatenate(mult_l)[:B0]
@@ -1047,7 +1109,9 @@ class BatchResult:
                              or (ctr[:, 1] > cfg.C_pre).any()
                              or (ctr[:, 2] > cfg.k1).any()
                              or (ctr[:, 3] > cfg.k1).any()
-                             or (ctr[:, 4] > cfg.NH).any())
+                             or (ctr[:, 4] > cfg.NH).any()
+                             or (cfg.RS > 0
+                                 and (ctr[:, 8] > cfg.RS).any()))
         valid = (row0 & 1) > 0
         reads = row0 >> 4
         keep = valid & (reads < B0)
@@ -1123,18 +1187,26 @@ class CandGen:
         return self._mmtab_dev
 
     def _kmer(self, seed_len: int):
-        """(DeviceKmer, host KmerTable) for this seed length, cached.
+        """(device table, host table) for this seed length, cached.
 
-        Big mode never uses the k-mer position table (4 B/bp doesn't fit
-        HBM next to the index — seeds go through the FM general shape),
-        so it gets a tiny dummy that satisfies the pytree signature."""
+        The cuckoo two-choice table (2 independent row gathers per probe)
+        is preferred; the sorted table is the fallback when placement
+        fails. Big mode never uses the k-mer position table (the table
+        doesn't fit HBM next to the index — seeds go through the FM
+        general shape), so it gets a tiny dummy that satisfies the pytree
+        signature."""
         hit = self._ktabs.get(seed_len)
         if hit is None:
             src = (self._joined_host if not self.big
                    else np.zeros(seed_len + 1, np.uint8))
-            tab = kmod.build_kmer_table(src, seed_len)
-            dkm = kmod.to_device(tab, self._device)
-            hit = (dkm, tab)
+            tab = None
+            if not self.big:
+                tab = kmod.build_cuckoo_table(src, seed_len)
+            if tab is not None:
+                hit = (kmod.cuckoo_to_device(tab, self._device), tab)
+            else:
+                stab = kmod.build_kmer_table(src, seed_len)
+                hit = (kmod.to_device(stab, self._device), stab)
             self._ktabs[seed_len] = hit
         return hit
 
@@ -1264,12 +1336,23 @@ class CandGen:
             C_pre=_pow2(8 * Bl * size_mult, lo=8192),
             C_max=_pow2(2 * Bl * size_mult, lo=4096),
             sw=self.sw_cfg, engine=self.engine,
-            has_short=has_short, kmer_steps=ktab.search_steps,
-            n_hi=ktab.n_hi, n_lo=ktab.n_lo, bbits=ktab.bbits,
+            has_short=has_short,
+            kmer_mode=("cuckoo" if isinstance(ktab, kmod.CuckooTable)
+                       else "sorted"),
+            kmer_steps=getattr(ktab, "search_steps", 1),
+            n_hi=ktab.n_hi, n_lo=ktab.n_lo,
+            bbits=getattr(ktab, "bbits", 10),
+            tbits=getattr(ktab, "tbits", 0),
+            salt=getattr(ktab, "salt", 0),
+            RS=(0 if has_short
+                else _pow2(max(Bl * S // 4, 2048) * size_mult)),
             mmtab_t=tuple(int(x) for x in np.asarray(mmtab[:64])),
             sched=sched, static_len=static_len, raw_len=raw_len,
             big=self.big, off_rate=self.off_rate,
-            seed_mms=min(pol.n_seed_mms, 1))
+            seed_mms=min(pol.n_seed_mms, 1),
+            boost_thresh=getattr(pol, "boost_thresh", 300),
+            no_exact_up=getattr(pol, "no_exact_upfront", False),
+            no_1mm_up=getattr(pol, "no_1mm_upfront", False))
         args = (jnp.asarray(packed), jnp.asarray(meta), self._mmtab(mmtab))
         if self.mesh is not None:
             out = _sharded_pipeline(cfg, self.mesh)(self.didx, dkm, *args)

@@ -85,6 +85,11 @@ class SearchPolicy:
     non_deterministic: bool = False  # --non-deterministic: per-read seeds
                             # drawn from a time-seeded stream instead of
                             # read content (ref: bt2_search.cpp:3215-3218)
+    boost_thresh: int = 300  # --seed-boost: reseed when avg hits per
+                            # nonzero seed >= this (ref: seedBoostThresh,
+                            # bt2_search.cpp:4086)
+    no_exact_upfront: bool = False  # --no-exact-upfront (ref: doExactUpFront)
+    no_1mm_upfront: bool = False    # --no-1mm-upfront (ref: do1mmUpFront)
     dp_streak: int = 15     # preset DPS (ref: presets.cpp:26 DPS=, the
                             # maxDpStreak policy): caps consecutive failed
                             # extend->commit attempts per read. Our DP is
@@ -951,16 +956,19 @@ class UnpairedAligner:
             hits = (np.zeros(0, np.int64),) * 4
             etop, ebot = dfm.backward_search(self.dev, both2, lens2)
 
-        # exact hits
+        # exact hits (--no-exact-upfront drops the stage; seeds rediscover
+        # exact hits, ref: doExactUpFront bt2_search.cpp:3454)
         er = np.nonzero(act2 & (ebot > etop))[0]
         for s in er:
             i = int(s) if s < B else int(s) - B
             exact_mult[i] += int(ebot[s] - etop[s])
-        add_fw_hits(er, etop[er], ebot[er])
-        # 1mm left-half hits
-        add_fw_hits(hits[0], hits[2], hits[3])
+        if not self.pol.no_exact_upfront:
+            add_fw_hits(er, etop[er], ebot[er])
+        # 1mm left-half hits (--no-1mm-upfront, ref: do1mmUpFront :3634)
+        if not self.pol.no_1mm_upfront:
+            add_fw_hits(hits[0], hits[2], hits[3])
 
-        if self.dev_mirror is not None:
+        if self.dev_mirror is not None and not self.pol.no_1mm_upfront:
             n_text = self.idx.n
             j = np.arange(L)[None, :]
             src = lens[:, None] - 1 - j
@@ -1117,7 +1125,7 @@ class UnpairedAligner:
             if roundi == 0:
                 seeds_failed_r0 |= round_active & (nonz == 0)
             repeat = (nonz > 0) & (
-                np.divide(tot, np.maximum(nonz, 1)) >= 300)
+                np.divide(tot, np.maximum(nonz, 1)) >= self.pol.boost_thresh)
             round_active = round_active & repeat
 
         if self.nofw or self.norc:

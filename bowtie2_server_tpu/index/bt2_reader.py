@@ -91,8 +91,9 @@ def read_bt2_metadata(base: str):
     # names are newline-separated, NUL-terminated; each keeps the full
     # FASTA header line — SAM uses the first whitespace token
     names = data[pos:].rstrip(b"\x00").split(b"\n")
-    refnames = [n.decode().strip().split()[0] for n in names
-                if n.strip()][:n_pat]
+    # keep the FULL header; display sites truncate at the first
+    # whitespace unless --fullref (ref: ARG_FULLREF)
+    refnames = [n.decode().strip() for n in names if n.strip()][:n_pat]
     return dict(length=int(length), line_rate=line_rate, off_rate=off_rate,
                 ftab_chars=ftab_chars, n_pat=int(n_pat), large=large,
                 ext=ext, rstarts=rstarts, ebwt_pos=ebwt_pos,

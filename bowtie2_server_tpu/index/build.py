@@ -44,7 +44,10 @@ def parse_fasta(path_or_text) -> tuple[list[str], list[np.ndarray]]:
             if names:
                 seqs.append(dna.encode(b"".join(cur)))
                 cur = []
-            names.append(line[1:].split()[0].decode())
+            # keep the FULL header (whitespace included) — output-side
+            # truncates at the first whitespace unless --fullref
+            # (ref: ARG_FULLREF; the reference index stores full names)
+            names.append(line[1:].decode().strip())
         else:
             cur.append(line)
     if names:

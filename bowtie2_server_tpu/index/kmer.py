@@ -110,6 +110,146 @@ def to_device(tab: KmerTable, device=None) -> DeviceKmer:
                       keys=put(tab.keys), pos=put(tab.pos))
 
 
+# ------------------------------------------------------------ cuckoo table -
+#
+# The sorted-table binary search costs 2 + 2*steps gathered rows per query
+# lane (bucket bounds + a chained lower/upper-bound loop). On this backend
+# gathers dominate the whole seed stage (~50 ns/row), so the hot-path
+# replacement is a bucketized two-choice hash table: every unique seed key
+# lives in one of TWO buckets of TWO 16-byte slots each, and a lookup is
+# exactly 2 INDEPENDENT 32-byte row gathers + VPU compares — no chained
+# steps, no data-dependent trip counts. (ref: the role of the ftab k-mer
+# jump table, bt2_idx.h:1476 ftabLoHi, redesigned for gather economy.)
+
+class CuckooTable(NamedTuple):
+    """Host-side two-choice bucket hash table over unique seed keys.
+
+    table[t] packs two slots: [hi0, lo0, start0, cnt0, hi1, lo1, start1,
+    cnt1] (uint32). cnt == 0 marks an empty slot. (start, cnt) index the
+    key-sorted `pos` array exactly like the sorted table's ranges."""
+    table: np.ndarray          # [T, 8] uint32
+    pos: np.ndarray            # [n_k] uint32 joined position of each key
+    seed_len: int
+    n_hi: int
+    n_lo: int
+    tbits: int                 # log2 of the bucket count
+    salt: int
+
+
+class DeviceCuckoo(NamedTuple):
+    table: jax.Array           # [T, 8] uint32
+    pos: jax.Array             # [n_k] uint32
+
+
+_H_A = 0x9E3779B1
+_H_B = 0x85EBCA77
+_H_C = 0xC2B2AE3D
+_H_D = 0x27D4EB2F
+
+
+def _buckets(hi, lo, salt: int, tbits: int, xp):
+    """The two bucket indices of a key — identical arithmetic on host
+    (numpy) and device (jnp): uint32 wraparound multiply-xor mixes, top
+    tbits of the product select the bucket."""
+    u = lambda c: xp.uint32(c)
+    hi = hi.astype(xp.uint32)
+    lo = lo.astype(xp.uint32)
+    x1 = ((hi * u(_H_A)) ^ (lo * u(_H_B))) + u(salt & 0xFFFFFFFF)
+    x1 = (x1 ^ (x1 >> u(16))) * u(_H_C)
+    x2 = ((hi * u(_H_D)) ^ (lo * u(_H_C))) + u((salt * 0x165667B1)
+                                               & 0xFFFFFFFF)
+    x2 = (x2 ^ (x2 >> u(15))) * u(_H_A)
+    sh = u(32 - tbits)
+    return (x1 >> sh).astype(xp.int32), (x2 >> sh).astype(xp.int32)
+
+
+def build_cuckoo_table(joined: np.ndarray, seed_len: int,
+                       max_salts: int = 6) -> CuckooTable | None:
+    """Build the two-choice table; None if placement fails at every salt
+    and table size (callers then keep the sorted-table path)."""
+    n = len(joined)
+    n_k = max(n - seed_len + 1, 0)
+    if n_k == 0:
+        return None
+    hi, lo, n_hi, n_lo = pack_keys(joined, seed_len)
+    hi, lo = hi[:n_k], lo[:n_k]
+    order = np.lexsort((lo, hi)).astype(np.uint32)
+    hi_s, lo_s = hi[order], lo[order]
+    new = np.ones(n_k, bool)
+    new[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+    ustart = np.nonzero(new)[0].astype(np.uint32)
+    ucnt = np.diff(np.append(ustart, n_k)).astype(np.uint32)
+    uhi, ulo = hi_s[ustart], lo_s[ustart]
+    n_u = len(ustart)
+
+    tbits = max(4, int(np.ceil(np.log2(n_u))))   # <= 0.5 load of 2T slots
+    for grow in range(3):
+        T = 1 << tbits
+        for salt in range(1, max_salts + 1):
+            h1, h2 = _buckets(uhi, ulo, salt, tbits, np)
+            tbl_key = np.full((T, 2), -1, np.int64)
+            pending = np.arange(n_u, dtype=np.int64)
+            failed = False
+            for _ in range(64):
+                if not len(pending):
+                    break
+                occ = (tbl_key >= 0).sum(1)
+                b1, b2 = h1[pending], h2[pending]
+                o1, o2 = occ[b1], occ[b2]
+                tgt = np.where(o1 <= o2, b1, b2)
+                slot = occ[tgt]
+                if (slot >= 2).any():
+                    # a key whose both buckets are full: occupancy only
+                    # grows, so this salt cannot place it
+                    failed = True
+                    break
+                tbl_key[tgt, slot] = pending   # last-write-wins scatter
+                landed = tbl_key[tgt, slot] == pending
+                pending = pending[~landed]
+            else:
+                failed = True
+            if not failed and not len(pending):
+                table = np.zeros((T, 8), np.uint32)
+                for s in range(2):
+                    occ_m = tbl_key[:, s] >= 0
+                    k = tbl_key[occ_m, s]
+                    table[occ_m, 4 * s + 0] = uhi[k]
+                    table[occ_m, 4 * s + 1] = ulo[k]
+                    table[occ_m, 4 * s + 2] = ustart[k]
+                    table[occ_m, 4 * s + 3] = ucnt[k]
+                return CuckooTable(table=table, pos=order,
+                                   seed_len=seed_len, n_hi=n_hi, n_lo=n_lo,
+                                   tbits=tbits, salt=salt)
+        tbits += 1
+    return None
+
+
+def cuckoo_to_device(tab: CuckooTable, device=None) -> DeviceCuckoo:
+    put = lambda x: jax.device_put(x, device)
+    return DeviceCuckoo(table=put(tab.table), pos=put(tab.pos))
+
+
+def cuckoo_lookup(dkc: DeviceCuckoo, q_hi, q_lo, tbits: int, salt: int):
+    """Traceable batched lookup: (start, cnt) int32 row ranges into
+    dkc.pos. Exactly 2 independent 32-byte row gathers per query."""
+    import jax.numpy as jnp
+
+    q_hi = q_hi.astype(jnp.uint32)
+    q_lo = q_lo.astype(jnp.uint32)
+    h1, h2 = _buckets(q_hi, q_lo, salt, tbits, jnp)
+    r1 = dkc.table[h1]                                   # [Q, 8] uint32
+    r2 = dkc.table[h2]
+    start = jnp.zeros(q_hi.shape, jnp.uint32)
+    cnt = jnp.zeros(q_hi.shape, jnp.uint32)
+    for r in (r1, r2):
+        for s in (0, 4):
+            m = ((r[:, s] == q_hi) & (r[:, s + 1] == q_lo)
+                 & (r[:, s + 3] > 0))
+            start = jnp.where(m, r[:, s + 2], start)
+            cnt = jnp.where(m, r[:, s + 3], cnt)
+    return start.astype(jnp.int32), cnt.astype(jnp.int32)
+
+
 def lookup_body(dkm: DeviceKmer, q_hi, q_lo, n_hi: int, bbits: int,
                 steps: int):
     """Traceable batched lookup: (start, cnt) row ranges into dkm.pos for

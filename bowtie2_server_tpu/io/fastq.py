@@ -93,11 +93,25 @@ def _open_maybe_compressed(path):
     return f
 
 
+def _apply_trim_to(seq, qual, trim_to):
+    """--trim-to [3:|5:]N — trim reads LONGER than N down to N bases from
+    the given end (ref: pat.h:1489-1503; default end is 3')."""
+    side, n = trim_to
+    if len(seq) > n:
+        if side == 5:
+            seq = seq[len(seq) - n:]
+            qual = qual[len(qual) - n:] if qual else qual
+        else:
+            seq = seq[:n]
+            qual = qual[:n] if qual else qual
+    return seq, qual
+
+
 def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000,
                trim5: int = 0, trim3: int = 0, skip: int = 0,
                upto: int | None = None, keep_comment: bool = False,
                keep_orig: bool = False, qname_trunc: bool = True,
-               qual_conv=None):
+               qual_conv=None, trim_to=None):
     """Yield ReadBatch objects from a FASTQ file (optionally gzipped).
     trim5/trim3: -5/-3 base trimming; skip/upto: -s/-u read windowing
     (ref: bt2_search.cpp gTrim5/gTrim3, skipReads/qUpto).
@@ -146,6 +160,8 @@ def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000,
                 end = len(seq) - trim3
                 seq = seq[trim5:end]
                 qual = qual[trim5:end] if qual else qual
+            if trim_to is not None:
+                seq, qual = _apply_trim_to(seq, qual, trim_to)
             hdr = h[1:] if h.startswith(b"@") else h
             if qname_trunc:
                 name = hdr.split()[0].decode()
@@ -167,6 +183,19 @@ def iter_fastq(path_or_handle, batch_size: int = 4096, max_len: int = 100_000,
     finally:
         if close:
             f.close()
+
+
+def subset_batch(b: ReadBatch, idx) -> ReadBatch:
+    """Row-subset of a batch (--sample filtering; keeps all side arrays)."""
+    idx = np.asarray(idx, np.int64)
+    take = lambda lst: [lst[i] for i in idx]
+    nb = ReadBatch(
+        names=take(b.names), seqs=b.seqs[idx], quals=b.quals[idx],
+        lens=b.lens[idx], raw_seq=take(b.raw_seq), raw_qual=take(b.raw_qual),
+        comments=take(b.comments) if b.comments is not None else None,
+        origs=take(b.origs) if b.origs is not None else None,
+        qc_fail=b.qc_fail[idx] if b.qc_fail is not None else None)
+    return nb
 
 
 def make_batch(names, seqs, quals, comments=None, origs=None) -> ReadBatch:
@@ -226,7 +255,7 @@ def iter_tab6(lines_iter, batch_size: int = 4096,
 
 
 def iter_fasta_reads(path, batch_size: int = 4096, trim5=0, trim3=0,
-                     skip=0, upto=None):
+                     skip=0, upto=None, trim_to=None):
     """FASTA read input (-f; ref: pat.h:778 FastaPatternSource)."""
     f = _open_maybe_compressed(path)
     names, seqs, quals = [], [], []
@@ -242,6 +271,8 @@ def iter_fasta_reads(path, batch_size: int = 4096, trim5=0, trim3=0,
         seq = b"".join(parts)
         end = len(seq) - trim3
         seq = seq[trim5:end]
+        if trim_to is not None:
+            seq, _ = _apply_trim_to(seq, b"", trim_to)
         names.append(name)
         seqs.append(seq)
         quals.append(b"I" * len(seq))
@@ -269,7 +300,7 @@ def iter_fasta_reads(path, batch_size: int = 4096, trim5=0, trim3=0,
 
 
 def iter_qseq(path, batch_size: int = 4096, trim5=0, trim3=0, skip=0,
-              upto=None, phred64: bool = False):
+              upto=None, phred64: bool = False, trim_to=None):
     """Illumina Qseq input (--qseq; ref: read_qseq.cpp:52 QseqPatternSource).
 
     11 tab fields: machine, run, lane, tile, x, y, index, mate, seq, quals,
@@ -302,6 +333,8 @@ def iter_qseq(path, batch_size: int = 4096, trim5=0, trim3=0, skip=0,
                 qual = bytes(max(33, q - 31) for q in qual)
             end = len(seq) - trim3
             seq, qual = seq[trim5:end], qual[trim5:end]
+            if trim_to is not None:
+                seq, qual = _apply_trim_to(seq, qual, trim_to)
             filt = fields[10][:1]
             if filt not in (b"0", b"1"):
                 raise ValueError(f"bad qseq filter flag {filt!r}")
@@ -361,7 +394,8 @@ def iter_fasta_continuous(path, length: int, freq: int = 1,
         yield make_batch(names, seqs, quals)
 
 
-def iter_raw_reads(path, batch_size: int = 4096, **kw):
+def iter_raw_reads(path, batch_size: int = 4096, trim5=0, trim3=0,
+                   trim_to=None, **kw):
     """Raw one-sequence-per-line input (-r; ref: pat.h:1186)."""
     f = _open_maybe_compressed(path)
     names, seqs, quals = [], [], []
@@ -370,6 +404,10 @@ def iter_raw_reads(path, batch_size: int = 4096, **kw):
             seq = line.strip()
             if not seq:
                 continue
+            if trim5 or trim3:
+                seq = seq[trim5 : len(seq) - trim3]
+            if trim_to is not None:
+                seq, _ = _apply_trim_to(seq, b"", trim_to)
             names.append(str(i))
             seqs.append(seq)
             quals.append(b"I" * len(seq))
@@ -380,9 +418,14 @@ def iter_raw_reads(path, batch_size: int = 4096, **kw):
         yield make_batch(names, seqs, quals)
 
 
-def iter_cmdline_reads(csv: str, batch_size: int = 4096, **kw):
+def iter_cmdline_reads(csv: str, batch_size: int = 4096, trim5=0, trim3=0,
+                       trim_to=None, **kw):
     """Comma-separated reads given on the command line (-c; ref: pat.h:304)."""
     seqs = [s.strip().encode() for s in csv.split(",") if s.strip()]
+    if trim5 or trim3:
+        seqs = [s[trim5 : len(s) - trim3] for s in seqs]
+    if trim_to is not None:
+        seqs = [_apply_trim_to(s, b"", trim_to)[0] for s in seqs]
     names = [str(i) for i in range(len(seqs))]
     quals = [b"I" * len(s) for s in seqs]
     for i in range(0, len(seqs), batch_size):

@@ -123,12 +123,38 @@ FLAG_MATE2 = 0x80
 FLAG_SECONDARY = 0x100
 
 
+def parse_sam_opt_config(arg: str) -> dict:
+    """--sam-opt-config: comma-separated tag toggles, 'tag' enables and
+    '-tag' disables (ref: bt2_search.cpp:1596, sam.h:162
+    toggleOptFlagByName; like the reference, 'as' and 'yn' share one
+    toggle)."""
+    toggles: dict[str, bool] = {}
+    for tok in arg.split(","):
+        tok = tok.strip().lower()
+        if not tok:
+            continue
+        val = not tok.startswith("-")
+        name = tok.lstrip("-")
+        if name in ("as", "yn"):
+            toggles["as"] = val
+        else:
+            toggles[name] = val
+    return toggles
+
+
 def sam_header(ref_names, ref_lens, program_args: str = "",
                version: str = "2.5.4-tpu", rg_id: str | None = None,
-               rg_fields: list[str] | None = None) -> str:
+               rg_fields: list[str] | None = None,
+               no_head: bool = False, no_sq: bool = False) -> str:
+    """no_head/no_sq: --sam-no-head suppresses ALL header lines, --sam-no-sq
+    only the @SQ lines (ref: bt2_search.cpp ARG_SAM_NOHEAD/ARG_SAM_NOSQ,
+    sam.cpp:54-120 printHeader)."""
+    if no_head:
+        return ""
     lines = ["@HD\tVN:1.0\tSO:unsorted"]
-    for name, ln in zip(ref_names, ref_lens):
-        lines.append(f"@SQ\tSN:{name}\tLN:{int(ln)}")
+    if not no_sq:
+        for name, ln in zip(ref_names, ref_lens):
+            lines.append(f"@SQ\tSN:{name}\tLN:{int(ln)}")
     if rg_id:
         rg = f"@RG\tID:{rg_id}"
         for f in rg_fields or []:
@@ -161,8 +187,10 @@ def _flags(rec: AlnRec) -> int:
 
 def sam_record(rec: AlnRec, ref_names, rg_id: str | None = None,
                xeq: bool = False, append_comment: bool = False,
-               show_rand_seed: bool = False) -> str:
-    line = _sam_record_core(rec, ref_names, rg_id, xeq)
+               show_rand_seed: bool = False, omit_sec_seq: bool = False,
+               opt_flags: dict | None = None) -> str:
+    line = _sam_record_core(rec, ref_names, rg_id, xeq, omit_sec_seq,
+                            opt_flags)
     if show_rand_seed:
         # ZS:i: per-read pseudo-random seed (ref: --show-rand-seed,
         # bt2_search.cpp:1345 sam_print_zs)
@@ -180,11 +208,18 @@ def sam_record(rec: AlnRec, ref_names, rg_id: str | None = None,
 
 
 def _sam_record_core(rec: AlnRec, ref_names, rg_id: str | None = None,
-                     xeq: bool = False) -> str:
+                     xeq: bool = False, omit_sec_seq: bool = False,
+                     opt_flags: dict | None = None) -> str:
     seq = rec.seq.decode() if isinstance(rec.seq, bytes) else rec.seq
     qual = rec.qual.decode() if isinstance(rec.qual, bytes) else rec.qual
+    if omit_sec_seq and rec.secondary and rec.aligned:
+        # --omit-sec-seq: secondary records print * for SEQ/QUAL
+        # (ref: sam.cpp omit_sec_seq_, bt2_search.cpp:714)
+        seq, qual = "*", "*"
     if not qual:
         qual = "*"
+    on = (lambda t: opt_flags.get(t, True)) if opt_flags else \
+        (lambda t: True)
     flag = _flags(rec)
     if not rec.aligned:
         # unaligned with an aligned mate: inherit the mate's RNAME/POS
@@ -196,8 +231,10 @@ def _sam_record_core(rec: AlnRec, ref_names, rg_id: str | None = None,
         else:
             rname, pos, rnext, pnext = "*", "0", "*", "0"
         # YT precedes YF (ref: sam.cpp:318-335 printYT then printYF)
-        tags = [f"YT:Z:{rec.yt}"]
-        if rec.filtered:
+        tags = []
+        if on("yt"):
+            tags.append(f"YT:Z:{rec.yt}")
+        if rec.filtered and on("yf"):
             tags.append(f"YF:Z:{rec.yf}")
         if rg_id:
             tags.append(f"RG:Z:{rg_id}")
@@ -213,14 +250,19 @@ def _sam_record_core(rec: AlnRec, ref_names, rg_id: str | None = None,
         rnext, pnext, tlen = "=", str(rec.pos + 1), "0"
     else:
         rnext, pnext, tlen = "*", "0", "0"
-    tags = [f"AS:i:{rec.score}"]
-    if rec.secbest is not None:
+    tags = [f"AS:i:{rec.score}"] if on("as") else []
+    if rec.secbest is not None and on("xs"):
         tags.append(f"XS:i:{rec.secbest}")
-    tags += [f"XN:i:{rec.xn}", f"XM:i:{rec.xm}", f"XO:i:{rec.xo}",
-             f"XG:i:{rec.xg}", f"NM:i:{rec.nm}", f"MD:Z:{rec.md}"]
-    if rec.paired and rec.ys is not None:
+    for t, v in (("xn", rec.xn), ("xm", rec.xm), ("xo", rec.xo),
+                 ("xg", rec.xg), ("nm", rec.nm)):
+        if on(t):
+            tags.append(f"{t.upper()}:i:{v}")
+    if on("md"):
+        tags.append(f"MD:Z:{rec.md}")
+    if rec.paired and rec.ys is not None and on("ys"):
         tags.append(f"YS:i:{rec.ys}")
-    tags.append(f"YT:Z:{rec.yt}")
+    if on("yt"):
+        tags.append(f"YT:Z:{rec.yt}")
     if rg_id:
         tags.append(f"RG:Z:{rg_id}")
     cig = cigar_xeq(rec.cigar, rec.md) if xeq else rec.cigar

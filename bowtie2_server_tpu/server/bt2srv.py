@@ -198,7 +198,9 @@ class Bt2Server:
             if rows:
                 pack, rows = rows, []
                 inflight.append(asyncio.wrap_future(self._dispatch.submit(
-                    conn_id, self._align_pack, pack, self.idx.ref_names)))
+                    conn_id, self._align_pack, pack,
+                    [n.split()[0] if n.split() else n
+                     for n in self.idx.ref_names])))
             while inflight and (final or len(inflight) >= DEPTH):
                 data = await inflight.pop(0)
                 writer.write(data)

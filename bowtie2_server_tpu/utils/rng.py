@@ -93,6 +93,11 @@ class RandomSource:
     def next_u64(self) -> int:
         return (self.next_u32() << 32) | self.next_u32()
 
+    def next_float(self) -> float:
+        """float32 in [0, 1] (exact port of random_source.h:221
+        nextFloat: nextU32() / 0xffffffff in single precision)."""
+        return float(np.float32(self.next_u32()) / np.float32(0xFFFFFFFF))
+
     # the reference's nextSizeT on 64-bit platforms
     next_size_t = next_u64
 

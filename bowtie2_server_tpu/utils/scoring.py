@@ -48,6 +48,11 @@ class Scoring:
     rf_gap_linear: int = 3
     gapbar: int = 4         # rows at ends enterable only diagonally (ref: scoring.h gapbar)
     local: bool = False
+    # --bwa-sw-like: min score = max(a*T, a*c*ln(len)) with a = match
+    # bonus, T = 30, c = 5.5 (ref: bt2_search.cpp:3288-3295)
+    bwa_sw_like: bool = False
+    bwa_sw_T: float = 30.0
+    bwa_sw_C: float = 5.5
 
     @property
     def monotone(self) -> bool:
@@ -82,7 +87,13 @@ class Scoring:
 
         ref: bt2_search.cpp:3285-3320 — interpolates via SimpleFunc; in local
         mode the result is clamped below the perfect score."""
-        v = self.score_min.f_int(rdlen)
+        if self.bwa_sw_like:
+            a = np.float32(self.match_bonus)
+            v = int(max(a * np.float32(self.bwa_sw_T),
+                        a * np.float32(self.bwa_sw_C)
+                        * np.float32(np.log(rdlen))))
+        else:
+            v = self.score_min.f_int(rdlen)
         if self.local:
             perfect = self.perfect_score(rdlen)
             if v > perfect:
