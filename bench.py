@@ -126,6 +126,18 @@ def main():
                 pps / bench_paired.REFERENCE_CPU_PAIRS_PER_S, 4)
         except Exception as e:   # never let the paired leg kill the bench
             print(f"# paired bench failed: {e}", file=sys.stderr)
+    # DP kernel cells/s + VPU roofline fraction (BASELINE.md primary
+    # metrics; scripts/bench_dp.py documents the ops/cell model)
+    if os.environ.get("BENCH_SKIP_DP", "") != "1":
+        try:
+            sys.path.insert(0, str(Path(__file__).resolve().parent
+                                   / "scripts"))
+            import bench_dp
+            cps, frac = bench_dp.run(quiet=True)
+            out["dp_banded_cells_per_s"] = round(cps, 1)
+            out["dp_roofline_frac"] = round(frac, 4)
+        except Exception as e:
+            print(f"# dp bench failed: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

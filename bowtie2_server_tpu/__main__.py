@@ -53,7 +53,8 @@ def cmd_build(args):
 
 
 def _tab6_is_paired(path) -> bool:
-    """Peek whether a tab5/tab6 file carries mate-2 columns (>= 6 fields)."""
+    """Peek whether a tab5/tab6 file carries mate-2 columns (tab5 = 5
+    fields with a shared name, tab6 = 6 fields; ref: pat.h:843)."""
     try:
         from .io.fastq import _open_maybe_compressed
         with _open_maybe_compressed(path) as f:
@@ -62,7 +63,7 @@ def _tab6_is_paired(path) -> bool:
                     line = line.encode()
                 line = line.rstrip(b"\r\n")
                 if line:
-                    return len(line.split(b"\t")) >= 6
+                    return len(line.split(b"\t")) >= 5
     except OSError:
         pass
     return False

@@ -265,6 +265,10 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     BIAS = (cfg.L + cfg.K) if cfg.big else 0
     BIAS_u = jnp.asarray(BIAS, rdt)
 
+    if cfg.engine == "cut_upload":   # H2D + trivial reduce only
+        return jnp.broadcast_to(
+            packed2.astype(jnp.int32).sum() + meta.sum(), (7, cfg.C_max))
+
     # ---- unpack the transfer-packed batch ----
     m0 = meta[:, 0]
     lens = (m0 & ((1 << _LEN_BITS) - 1)).astype(jnp.int32)
@@ -467,6 +471,12 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
             return kmod.lookup_body(dkm, qh, ql, cfg.n_hi, cfg.bbits,
                                     cfg.kmer_steps)
 
+        def _cut3(*vals):   # sub-stage bisection (scripts/profile_cuts.py)
+            acc = jnp.int32(0)
+            for v in vals:
+                acc = acc + v.astype(jnp.int32).sum()
+            return jnp.broadcast_to(acc, (7, cfg.C_max))
+
         n_hi, n_lo = cfg.n_hi, cfg.n_lo
         codes4f = jnp.where(la_codes <= 3, la_codes, 0).astype(jnp.uint32)
         khi_fw = _rolling_keys(codes4f, n_hi, 0, False)
@@ -481,6 +491,8 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
         ncum = jnp.pad(jnp.cumsum(is_n.astype(jnp.int32), axis=1),
                        ((0, 0), (1, 0)))                        # [B, L+1]
         ncum = jnp.pad(ncum, ((0, 0), (0, Ls)), mode="edge")
+        if cfg.engine == "cut_keys":
+            return _cut3(khi_fw, klo_fw, khi_rc, klo_rc, ncum)
 
         for r in range(cfg.R):
             # round 0 also looks up seeds of exact-only (seed_skip) reads —
@@ -548,6 +560,8 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
             Ntot = q_hi.shape[0]
             if r == 0 or cfg.RS == 0 or cfg.RS >= Ntot:
                 start, cnt = _seed_lookup(q_hi, q_lo)
+                if r == 0 and cfg.engine == "cut_probe0":
+                    return _cut3(start, cnt, val_all, dep_all, lane_all)
                 n_seed_ct += jnp.sum(val_all.astype(jnp.int32))
                 cnt = jnp.where(val_all, cnt, 0)
                 st_lane, st_val = lane_all, val_all
@@ -605,6 +619,10 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                 seeds_failed_r0 = seed_r0_active & ((inst == 0) | (nonz == 0))
             round_active = round_active & (inst > 0) & (nonz > 0) & \
                 (tot >= cfg.boost_thresh * nonz)
+            if r == 0 and cfg.engine == "cut_r0":
+                return _cut3(round_active, seeds_failed_r0, read_clip,
+                             *(x[-1] for x in (r_lane, r_depth, r_top,
+                                               r_cnt)))
     else:
         # FM seed search with per-read truncated seeds (general shape)
         sl = jnp.minimum(Ls, lens)                          # [B]

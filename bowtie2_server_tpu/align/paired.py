@@ -69,19 +69,13 @@ class PairedPolicy:
         if not olap:
             if (one_left and lo2 < lo1) or (not one_left and lo1 < lo2):
                 return DISCORDANT
-        if containment:
-            if not self.contain_ok:
-                return DISCORDANT
-            # For contained pairs only a start-side inversion (the expected
-            # right mate starting before the expected left mate) counts as
-            # dovetail; the containing mate's end overhang is inherent to
-            # containment (observed reference behavior: equal-start
-            # containment -> CP, shifted-start -> DP).
-            bad = (one_left and lo2 < lo1) or \
-                  (not one_left and lo1 < lo2)
-            if bad and not self.dovetail_ok:
-                return DISCORDANT
-            return CONCORDANT
+        if containment and not self.contain_ok:
+            return DISCORDANT
+        # the dovetail check applies to contained pairs too: the left
+        # mate's end overhang past the right mate's end IS dovetailing
+        # (ref: pe.cpp:128-134 runs unconditionally after the containment
+        # branch; verified against the reference binary on the
+        # pe_containment simple-tier case)
         dovetail = (one_left and (hi1 > hi2 or lo2 < lo1)) or \
                    (not one_left and (hi2 > hi1 or lo1 < lo2))
         if dovetail and not self.dovetail_ok:
@@ -124,11 +118,9 @@ class PairedPolicy:
         if not self.contain_ok:
             ok &= ~containment
         if not self.dovetail_ok:
-            bad_c = np.where(one_left, lo2 < lo1, lo1 < lo2)
-            ok &= ~(containment & bad_c)
             dove = np.where(one_left, (hi1 > hi2) | (lo2 < lo1),
                             (hi2 > hi1) | (lo1 < lo2))
-            ok &= containment | ~dove
+            ok &= ~dove
         return ok
 
 
@@ -635,8 +627,14 @@ class PairedAligner:
             r.mate_fw = other.fw
             r.mate_ref_id = other.ref_id
             r.mate_pos = other.pos
+        # TLEN + YS only when the mates were reported AS a pair (CP/DP);
+        # mixed-mode UP halves get TLEN 0 and no YS even when both mates
+        # aligned (ref: the reference emits YS/TLEN from the paired result
+        # only — verified on the pe_discordant_no_discordant tier golden:
+        # UP records carry tlen=0, no YS, but rnext/pnext stay set)
+        as_pair = getattr(r1, "yt", None) in ("CP", "DP")
         # TLEN: signed outermost distance when both aligned on the same ref
-        if r1.aligned and r2.aligned and r1.ref_id == r2.ref_id:
+        if as_pair and r1.aligned and r2.aligned and r1.ref_id == r2.ref_id:
             # TLEN spans the UNCLIPPED read extents (soft-clipped bases count
             # toward the fragment — observed reference behavior in local mode)
             lo = min(r1.pos - _lead_clip(r1), r2.pos - _lead_clip(r2))
@@ -655,8 +653,8 @@ class PairedAligner:
                 r1.tlen, r2.tlen = t, -t
         else:
             r1.tlen = r2.tlen = 0
-        r1.ys = r2.score if r2.aligned else None
-        r2.ys = r1.score if r1.aligned else None
+        r1.ys = r2.score if (as_pair and r2.aligned) else None
+        r2.ys = r1.score if (as_pair and r1.aligned) else None
 
 
 def _lead_clip(r: AlnRec) -> int:

@@ -1364,6 +1364,13 @@ class UnpairedAligner:
                 if self.finish_candidate(st, i, bci, bsc, sec):
                     primary_done = True
                     fail_streak = 0
+                    if sec is None and not self.pol.msample:
+                        # -k/-a modes can't "max out" (canMax false) and
+                        # the search is not exhausted: MAPQ unavailable
+                        # (ref: unique.h:125 — !canMax && !exhausted &&
+                        # !hasSecbest -> 255; verified on the a_on_unique
+                        # tier golden)
+                        st.recs[i].mapq = 255
                     if k == 1:
                         break
                 else:

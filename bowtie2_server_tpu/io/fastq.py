@@ -233,13 +233,21 @@ def iter_tab6(lines_iter, batch_size: int = 4096,
             continue
         parts = line.split(b"\t")
         if qual_conv is not None:
-            for qi in (2, 5):
+            qis = (2, 4) if len(parts) == 5 else (2, 5)
+            for qi in qis:
                 if len(parts) > qi:
                     parts[qi] = qual_conv(parts[qi])
         n1.append(parts[0].decode())
         s1.append(parts[1])
         q1.append(parts[2] if len(parts) > 2 else b"")
-        if len(parts) >= 6:
+        if len(parts) == 5:
+            # tab5: name\tseq1\tqual1\tseq2\tqual2 — shared name
+            # (ref: pat.h:843 TabbedPatternSource, secondName_ = false)
+            paired = True
+            n2.append(parts[0].decode())
+            s2.append(parts[3])
+            q2.append(parts[4])
+        elif len(parts) >= 6:
             paired = True
             n2.append(parts[3].decode())
             s2.append(parts[4])

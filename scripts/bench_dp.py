@@ -1,0 +1,86 @@
+"""DP-kernel microbench: banded Smith-Waterman cells/s/chip + VPU roofline
+fraction (BASELINE.md primary metrics; the reference's analog is the SSE
+kernel provenance claim, aligner_swsse_ee_u8.cpp:28-35).
+
+Cells/s = problems x L x K / steady-state kernel wall time (3 calls kept
+in flight so the tunnel's dispatch latency is hidden, as in production).
+
+Roofline: the banded kernel does ~OPS_PER_CELL int32 VPU ops per DP cell
+(counted from ops/sw_banded.py _banded_update + scoring + running argmax:
+score select ~5, diag 1, F 4, base 1, E-init 1, Kogge-Stone 2*log2(K),
+E-mask 1, H max 1, scored-select 1, reduction+argmax ~4). The VPU peak is
+taken per device kind; unknown kinds fall back to v5e numbers.
+"""
+import sys
+import time
+from collections import deque
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+# int32 VPU lane-ops/s peak: (8, 128) vregs x ~4 issue/cycle x clock.
+# v5e (aka "TPU v5 lite"): 1.74 GHz later? Public v5e clock = 1.67e9? The
+# scaling-book peak table gives v5e ~ 3.94e13 bf16 MXU FLOPs; VPU int32 is
+# 8*128*4*0.94e9 ~ 3.85e12. We use 3.85e12 and label the assumption.
+_VPU_PEAK = {
+    "TPU v5 lite": 3.85e12,
+    "TPU v4": 4.27e12,
+    "TPU v6 lite": 7.6e12,
+}
+
+
+def ops_per_cell(K: int, local: bool) -> float:
+    return 14 + 2 * int(np.ceil(np.log2(K))) + (1 if local else 0)
+
+
+def run(quiet: bool = False, P: int = 32768, L: int = 100, K: int = 32):
+    import jax
+    from bowtie2_server_tpu.ops.sw import LANES, SwConfig
+    from bowtie2_server_tpu.ops.sw_banded import _pallas_banded
+
+    cfg = SwConfig()          # end-to-end defaults
+    rng = np.random.default_rng(3)
+    rd = rng.integers(0, 4, (L, P)).astype(np.int32)
+    mm = np.full((L, P), 6, np.int32)
+    band = rng.integers(0, 4, (L + K, P)).astype(np.int32)
+    lens = np.full((1, P), L, np.int32)
+    use_pallas = jax.default_backend() == "tpu"
+    call = _pallas_banded(cfg, K, L, P // LANES, not use_pallas)
+    args = [jax.device_put(a) for a in (rd, mm, lens, band)]
+    out = call(*args)
+    out[0].block_until_ready()
+    best = 1e9
+    for _ in range(3):
+        inflight = deque()
+        t0 = time.time()
+        n = 10
+        for _i in range(n):
+            inflight.append(call(*args))
+            if len(inflight) >= 3:
+                inflight.popleft()[0].block_until_ready()
+        while inflight:
+            inflight.popleft()[0].block_until_ready()
+        best = min(best, (time.time() - t0) / n)
+    cells = P * L * K
+    cps = cells / best
+    kind = jax.devices()[0].device_kind
+    peak = _VPU_PEAK.get(kind, _VPU_PEAK["TPU v5 lite"])
+    frac = cps * ops_per_cell(K, cfg.local) / peak
+    if not quiet:
+        print(f"# {kind}: {cps/1e9:.1f} Gcells/s "
+              f"({best*1e3:.2f} ms / {cells/1e6:.0f} Mcells), "
+              f"roofline {frac*100:.0f}% "
+              f"(assuming {ops_per_cell(K, cfg.local)} ops/cell, "
+              f"{peak:.2e} VPU ops/s peak)", file=sys.stderr)
+    return cps, frac
+
+
+if __name__ == "__main__":
+    cps, frac = run()
+    import json
+    print(json.dumps({"metric": "dp_banded_cells_per_s_per_chip",
+                      "value": round(cps, 1), "unit": "cells/s",
+                      "roofline_frac": round(frac, 4)}))

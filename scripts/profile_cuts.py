@@ -1,6 +1,14 @@
-"""Device-time bisection of the fused pipeline via cut engines."""
+"""Device-time bisection of the fused pipeline via cut engines.
+
+Steady-state measurement: keep DEPTH batches in flight and time N waits —
+the per-batch wall time then equals max(device program, host prep), which
+is the number that actually bounds end-to-end throughput. Report the min
+over repeats to filter tunnel jitter.
+"""
+import os
 import sys
 import time
+from collections import deque
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -20,27 +28,35 @@ from bowtie2_server_tpu.io.fastq import make_batch
 tmp = Path("tmp")
 fa, names, seqs, quals = make_workload(tmp)
 idx = FmIndex.load(tmp / "bench_genome_idx")
-BATCH = int(__import__("os").environ.get("CUT_BATCH", "8192"))
-batch = make_batch(names[:BATCH], seqs[:BATCH], quals[:BATCH])
+BATCH = int(os.environ.get("CUT_BATCH", "32768"))
+NB = int(os.environ.get("CUT_NBATCH", "8"))
+DEPTH = 3
+batches = [make_batch(names[i:i + BATCH], seqs[i:i + BATCH],
+                      quals[i:i + BATCH])
+           for i in range(0, NB * BATCH, BATCH)]
 
-import os
 engines = os.environ.get(
     "ENGINES", "cut_seeds,cut_resolve,cut_dedup,cut_band,nodp,pallas"
 ).split(",")
 for eng in engines:
     al = UnpairedAligner(idx, engine=eng)
-    h = al.collect_async(batch)
+    # warm/compile
+    h = al.collect_async(batches[0])
     h[4][1].block_until_ready()
-    reps = 5
-    t0 = time.time()
-    for _ in range(reps):
-        h = al.collect_async(batch)
-        h[4][1].block_until_ready()
-    t = (time.time() - t0) / reps
-    # host-prep share: dispatch without waiting
-    t0 = time.time()
-    for _ in range(reps):
-        h = al.collect_async(batch)
-    t_prep = (time.time() - t0) / reps
-    h[4][1].block_until_ready()
-    print(f"{eng}: total={t*1e3:.1f}ms prep(async dispatch)={t_prep*1e3:.1f}ms")
+    best = 1e9
+    for rep in range(3):
+        inflight = deque()
+        t0 = time.time()
+        n_done = 0
+        for b in batches:
+            inflight.append(al.collect_async(b))
+            if len(inflight) >= DEPTH:
+                inflight.popleft()[4][1].block_until_ready()
+                n_done += 1
+        while inflight:
+            inflight.popleft()[4][1].block_until_ready()
+            n_done += 1
+        dt = (time.time() - t0) / n_done
+        best = min(best, dt)
+    print(f"{eng}: {best * 1e3:.1f} ms/batch "
+          f"({BATCH / best:,.0f} reads/s)", flush=True)

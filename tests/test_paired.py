@@ -23,11 +23,14 @@ def test_classify_fr_normal():
     assert pe.classify(100, 100, True, 700, 100, False) == DISCORDANT
     # wrong relative order (rc mate left, no overlap)
     assert pe.classify(300, 100, True, 100, 100, False) == DISCORDANT
-    # containment allowed by default; the containing mate's end overhang is
-    # inherent to containment (observed reference behavior) ...
+    # containment allowed by default, but the dovetail check still runs
+    # after it (pe.cpp:128-134): end-flush containment is concordant,
+    # while the left mate's end overhang PAST the contained mate is
+    # dovetailing -> discordant (verified against the reference binary on
+    # the pe_containment simple-tier case)
     assert pe.classify(100, 200, True, 250, 50, False) == CONCORDANT
-    assert pe.classify(100, 200, True, 150, 50, False) == CONCORDANT
-    # ... but a start-side inversion within containment is dovetail
+    assert pe.classify(100, 200, True, 150, 50, False) == DISCORDANT
+    # a start-side inversion within containment is dovetail too
     assert pe.classify(100, 200, False, 101, 50, True) == DISCORDANT
     # dovetail NOT allowed by default
     assert pe.classify(100, 100, True, 90, 100, False) == DISCORDANT
