@@ -1195,6 +1195,12 @@ class CandGen:
         self.K = K
         self._mmtab_dev = None
         self._ktabs: dict[int, tuple] = {}
+        # D2H runs on its own threads so result downloads (slow direction
+        # on a tunneled link) overlap device compute; 2 threads cover a
+        # depth-3 dispatch pipeline
+        from concurrent.futures import ThreadPoolExecutor
+        self._fetch_pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="candgen-d2h")
 
     def _mmtab(self, mmtab):
         if self._mmtab_dev is None:
@@ -1376,15 +1382,14 @@ class CandGen:
             out = _sharded_pipeline(cfg, self.mesh)(self.didx, dkm, *args)
         else:
             out = fused_pipeline(self.didx, dkm, cfg, *args)
-        # enqueue the D2H copy now: it streams back as soon as the program
-        # finishes, overlapping the host's work on the previous batch (the
-        # tunnel D2H has ~30 ms base latency otherwise paid in fetch())
-        try:
-            out.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass
-        return (B0, out, cfg, ndev)
+        # start the D2H on a dedicated thread NOW: this link's D2H runs at
+        # ~23 MB/s (40x slower than H2D), so the ~1.8 MB result costs
+        # ~80 ms — moved off the dispatch/wait threads it overlaps the
+        # device's work on the next batch. (copy_to_host_async on this
+        # backend serializes instead of overlapping — measured.)
+        fut = self._fetch_pool.submit(np.asarray, out)
+        return (B0, out, cfg, ndev, fut)
 
     def fetch(self, handle) -> BatchResult:
-        B0, out, cfg, ndev = handle
-        return BatchResult(B0, np.asarray(out), cfg, ndev, self.K)
+        B0, out, cfg, ndev, fut = handle
+        return BatchResult(B0, fut.result(), cfg, ndev, self.K)

@@ -177,32 +177,66 @@ class LazyByRead(dict):
         self._c_read = c_read
         self._built = c_read is None or len(c_read) == 0
 
-    def _build(self):
+    def _build(self, k=None):
+        """Materialize one key's candidate list (per-key, via a sorted
+        index) — a full build costs ~100 ms at 64k candidates while the
+        slow path typically touches a handful of reads per batch."""
         if self._built:
             return
-        self._built = True
-        order = np.argsort(self._c_read, kind="stable")
-        sr = self._c_read[order]
-        cut = np.nonzero(np.diff(sr))[0] + 1
-        for grp in np.split(order, cut):
-            super().setdefault(int(self._c_read[grp[0]]),
-                               []).extend(grp.tolist())
+        if k is None:     # full materialization (iteration fallback)
+            self._built = True
+            order = self._order()
+            sr = self._c_read[order]
+            cut = np.nonzero(np.diff(sr))[0] + 1
+            for grp in np.split(order, cut):
+                ki = int(self._c_read[grp[0]])
+                if not dict.__contains__(self, ki):
+                    super().setdefault(ki, []).extend(grp.tolist())
+            return
+        k = int(k)
+        if dict.__contains__(self, k):
+            return
+        order = self._order()
+        lo = np.searchsorted(self._sorted, k, "left")
+        hi = np.searchsorted(self._sorted, k, "right")
+        if hi > lo:
+            super().setdefault(k, []).extend(order[lo:hi].tolist())
+
+    def _order(self):
+        o = getattr(self, "_ord", None)
+        if o is None:
+            o = np.argsort(self._c_read, kind="stable")
+            self._ord = o
+            self._sorted = self._c_read[o]
+        return o
 
     def get(self, k, default=None):
-        self._build()
+        self._build(k)
         return super().get(k, default)
 
     def setdefault(self, k, default=None):
-        self._build()
+        self._build(k)
         return super().setdefault(k, default)
 
     def __getitem__(self, k):
-        self._build()
+        self._build(k)
         return super().__getitem__(k)
 
     def __contains__(self, k):
-        self._build()
+        self._build(k)
         return super().__contains__(k)
+
+    def keys(self):
+        self._build()
+        return super().keys()
+
+    def items(self):
+        self._build()
+        return super().items()
+
+    def __iter__(self):
+        self._build()
+        return super().__iter__()
 
 
 class LazyFin:
@@ -597,18 +631,27 @@ class UnpairedAligner:
         recs = LazyRecs(batch, filtered, qc)
 
         fw_seqs, fw_quals = batch.seqs, batch.quals
-        # rc/penalty matrices are slow-path-only: built on first use
-        mats: dict = {}
+        # rc/penalty rows are slow-path-only and PER-READ lazy: the whole-
+        # batch [B, L] revcomp + penalty matrices cost ~200 ms at B=32k
+        # while the slow path touches a handful of reads per batch
+        mmtab_h = self.sc.mm_penalties()
+        row_cache: dict = {}
 
-        def _mats():
-            if not mats:
-                rc_s, rc_q = revcomp_batch(fw_seqs, fw_quals, lens)
-                mmtab = self.sc.mm_penalties()
-                mats["rc_seqs"] = rc_s
-                mats["mm_fw"] = mmtab[np.clip(fw_quals, 0, 255)
-                                      ].astype(np.int32)
-                mats["mm_rc"] = mmtab[np.clip(rc_q, 0, 255)].astype(np.int32)
-            return mats
+        def _read_row(i, is_fw):
+            key = (int(i), bool(is_fw))
+            hit = row_cache.get(key)
+            if hit is None:
+                rl = int(lens[i])
+                if is_fw:
+                    s = fw_seqs[i, :rl]
+                    q = fw_quals[i, :rl]
+                else:
+                    s = dna.COMP[fw_seqs[i, :rl]][::-1]
+                    q = fw_quals[i, :rl][::-1]
+                hit = (np.ascontiguousarray(s),
+                       mmtab_h[np.clip(q, 0, 255)].astype(np.int32))
+                row_cache[key] = hit
+            return hit
 
         # -M repetitive flag (ref: ReportingState::areDone counting all
         # valid alignments, aln_sink.cpp:322-328). Candidate granularity is
@@ -649,11 +692,8 @@ class UnpairedAligner:
 
         def read_arrays(ci):
             i, is_fw, _ = cands[ci]
-            rl = int(lens[i])
-            m = _mats()
-            if is_fw:
-                return fw_seqs[i, :rl], m["mm_fw"][i, :rl], rl
-            return m["rc_seqs"][i, :rl], m["mm_rc"][i, :rl], rl
+            s, mm = _read_row(i, is_fw)
+            return s, mm, int(lens[i])
 
         fin_info = LazyFin(res, lens, self.idx.joined, self.band)
         st = SimpleNamespace(
