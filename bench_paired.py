@@ -111,15 +111,30 @@ def run(quiet: bool = False) -> float:
     b2s = [make_batch(m2[0][i:i + BATCH], m2[1][i:i + BATCH],
                       m2[2][i:i + BATCH])
            for i in range(0, N_PAIRS, BATCH)]
+    def count_con(pairs):
+        if hasattr(pairs, "n_concordant"):
+            return pairs.n_concordant()
+        return sum(1 for r1, _ in pairs if r1.proper)
+
     # warmup/compile
     pairs = pal.align_batch(b1s[0], b2s[0])
-    n_con = sum(1 for r1, _ in pairs if r1.proper)
+    n_con = count_con(pairs)
     t0 = time.time()
     n = 0
+    # depth-2 pipelining: device works on pair-batch i+1 while the host
+    # finishes i (mirrors bench.py's unpaired loop)
+    from collections import deque
+    inflight = deque()
     for b1, b2 in zip(b1s[1:], b2s[1:]):
-        pairs = pal.align_batch(b1, b2)
-        n_con += sum(1 for r1, _ in pairs if r1.proper)
-        n += len(pairs)
+        inflight.append((len(b1.names), pal.align_async(b1, b2)))
+        if len(inflight) >= 2:
+            nb, h = inflight.popleft()
+            n_con += count_con(pal.align_wait(h))
+            n += nb
+    while inflight:
+        nb, h = inflight.popleft()
+        n_con += count_con(pal.align_wait(h))
+        n += nb
     dt = time.time() - t0
     pps = n / dt
     if not quiet:

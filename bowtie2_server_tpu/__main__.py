@@ -604,22 +604,32 @@ def cmd_server(args):
 def cmd_client(args):
     from .io.fastq import iter_fastq
     from .server.client import Bt2Client
-    cl = Bt2Client(args.host, args.port, args.index)
+    passthrough = getattr(args, "passthrough", False)
+    cl = Bt2Client(args.host, args.port, args.index,
+                   passthrough=passthrough)
+    keep = passthrough
+    # the client substitutes %04X slot names on the wire and restores the
+    # original names on receipt (ref: pat.h:2464-2550); callers pass raw
+    # names
     if args.m1 and args.m2:
         def rows():
-            for b1, b2 in zip(iter_fastq(args.m1, batch_size=1024),
-                              iter_fastq(args.m2, batch_size=1024)):
+            for b1, b2 in zip(
+                    iter_fastq(args.m1, batch_size=1024, keep_orig=keep),
+                    iter_fastq(args.m2, batch_size=1024, keep_orig=keep)):
                 for i in range(len(b1)):
-                    yield (b1.names[i] + "/1", b1.raw_seq[i], b1.raw_qual[i],
-                           b2.names[i] + "/2", b2.raw_seq[i], b2.raw_qual[i])
+                    r = (b1.names[i], b1.raw_seq[i], b1.raw_qual[i],
+                         b2.names[i], b2.raw_seq[i], b2.raw_qual[i])
+                    if keep and b1.origs is not None:
+                        r = r + ((b1.origs[i], b2.origs[i]),)
+                    yield r
     else:
         def rows():
-            # unpaired reads carry a /1 suffix on the wire, and the server
-            # echoes it in SAM (ref: pat.cpp:2289 — the web client expects
-            # mate-1 names to already end in /1)
-            for b in iter_fastq(args.U, batch_size=1024):
+            for b in iter_fastq(args.U, batch_size=1024, keep_orig=keep):
                 for i in range(len(b)):
-                    yield (b.names[i] + "/1", b.raw_seq[i], b.raw_qual[i])
+                    r = (b.names[i], b.raw_seq[i], b.raw_qual[i])
+                    if keep and b.origs is not None:
+                        r = r + (b.origs[i],)
+                    yield r
     cl.send_reads(rows())
     out = open(args.S, "w") if args.S else sys.stdout
     n = 0
@@ -1100,6 +1110,10 @@ def main(argv=None):
     pc.add_argument("-1", dest="m1", default=None)
     pc.add_argument("-2", dest="m2", default=None)
     pc.add_argument("-S", dest="S", default=None)
+    pc.add_argument("--passthrough", action="store_true",
+                    help="re-emit the original input record after each SAM "
+                         "record (restored client-side from the slot map; "
+                         "ref: pat.cpp:2286-2336)")
     pc.set_defaults(fn=cmd_client)
 
     pd = sub.add_parser("dp")

@@ -117,6 +117,14 @@ class CandGenCfg(NamedTuple):
                                 # bt2_search.cpp:3454)
     no_1mm_up: bool = False     # --no-1mm-upfront (ref: do1mmUpFront,
                                 # bt2_search.cpp:3634)
+    pack5: bool = False         # compact 5-row output layout (D2H is the
+                                # steady-state bottleneck on a tunneled
+                                # link: ~28 ms latency + ~34 MB/s): rows
+                                # [r0 flags|read|nm|ung, diag,
+                                #  score16|bibk16, best_pack, secmult+ctrs]
+                                # of width C_max+128, vs the full 7 x C_max
+                                # layout. Conditions: L<=256, K<=256,
+                                # ndev*B <= 2^18 (see dispatch)
 
 
 class DeviceIndex(NamedTuple):
@@ -267,7 +275,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
 
     if cfg.engine == "cut_upload":   # H2D + trivial reduce only
         return jnp.broadcast_to(
-            packed2.astype(jnp.int32).sum() + meta.sum(), (7, cfg.C_max))
+            packed2.astype(jnp.int32).sum() + meta.sum(), ((5, cfg.C_max + 128) if cfg.pack5 else (7, cfg.C_max)))
 
     # ---- unpack the transfer-packed batch ----
     m0 = meta[:, 0]
@@ -475,7 +483,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
             acc = jnp.int32(0)
             for v in vals:
                 acc = acc + v.astype(jnp.int32).sum()
-            return jnp.broadcast_to(acc, (7, cfg.C_max))
+            return jnp.broadcast_to(acc, ((5, cfg.C_max + 128) if cfg.pack5 else (7, cfg.C_max)))
 
         n_hi, n_lo = cfg.n_hi, cfg.n_lo
         codes4f = jnp.where(la_codes <= 3, la_codes, 0).astype(jnp.uint32)
@@ -758,7 +766,7 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
         acc = jnp.int32(0)
         for v in vals:
             acc = acc + v.astype(jnp.int32).sum()
-        return jnp.broadcast_to(acc, (7, cfg.C_max))
+        return jnp.broadcast_to(acc, ((5, cfg.C_max + 128) if cfg.pack5 else (7, cfg.C_max)))
 
     if cfg.engine == "cut_seeds":
         return _cut(r_lane, r_depth, r_top, r_cnt, r_src)
@@ -1020,9 +1028,6 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                                jnp.int32(E + 1), n_perf).astype(jnp.int32)
 
     # ---- pack outputs (single D2H array) ----
-    row0 = ((c_read << 4) | (c_fw.astype(jnp.int32) << 2)
-            | (interior.astype(jnp.int32) << 1) | c_valid.astype(jnp.int32))
-    row3 = (bi << 8) | jnp.clip(bk, 0, 255)
     best_pack = (((best_ci + 1) << 2)
                  | (jnp.minimum(has_rect, 1) << 1)
                  | seeds_failed_r0.astype(jnp.int32))
@@ -1035,6 +1040,48 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
                           jnp.sum((interior & ungapped_c)
                                   .astype(jnp.int32)),
                           reseed_max])
+    # big mode: the biased uint32 diagonal bitcasts through the int32 pack
+    # (host decode: .view(uint32) - BIAS, BatchResult)
+    row1 = (jax.lax.bitcast_convert_type(c_diag, jnp.int32)
+            if cfg.big else c_diag)
+    if cfg.pack5:
+        # Compact layout (D2H-bound link; see CandGenCfg.pack5):
+        # r0: valid | interior<<1 | fw<<2 | read<<4 (18b) | nm<<22 (9b)
+        #     | ungapped<<31
+        # r1: diag
+        # r2: (score clamped +-30000, biased +32768, 16b)
+        #     | (bi<<8 | bk)<<16
+        # r3: best_pack : B
+        # r4: [sec16<<16 | mult16 : B | ... | counters : last 9]
+        W = Cx + 128
+        r0 = (c_valid.astype(jnp.uint32)
+              | (interior.astype(jnp.uint32) << 1)
+              | (c_fw.astype(jnp.uint32) << 2)
+              | (c_read.astype(jnp.uint32) << 4)
+              | (jnp.minimum(nm_c, 511).astype(jnp.uint32) << 22)
+              | (ungapped_c.astype(jnp.uint32) << 31))
+        r0 = jax.lax.bitcast_convert_type(r0, jnp.int32)
+        sc16 = (jnp.clip(c_score, -30000, 30000) + 32768).astype(jnp.int32)
+        bibk = (jnp.clip(bi, 0, 255) << 8) | jnp.clip(bk, 0, 255)
+        r2 = sc16 | (bibk << 16)
+        sec16 = (jnp.clip(sec_sc, -30000, 30000) + 32768).astype(jnp.int32)
+        # exact_mult saturates at 65535: every consumer compares against
+        # small thresholds (resolve cap, mhits, >1), so saturation only
+        # misreads when -M/-k thresholds exceed 65535 (host path anyway)
+        secmult = (sec16 << 16) | jnp.minimum(exact_mult, 65535)
+        pad = W - Cx
+        r0 = jnp.pad(r0, (0, pad))
+        r1p = jnp.pad(row1, (0, pad))
+        r2 = jnp.pad(r2, (0, pad))
+        r3 = jnp.zeros(W, jnp.int32)
+        r3 = jax.lax.dynamic_update_slice(r3, best_pack, (0,))
+        r4 = jnp.zeros(W, jnp.int32)
+        r4 = jax.lax.dynamic_update_slice(r4, secmult, (0,))
+        r4 = jax.lax.dynamic_update_slice(r4, counters, (W - 9,))
+        return jnp.stack([r0, r1p, r2, r3, r4])
+    row0 = ((c_read << 4) | (c_fw.astype(jnp.int32) << 2)
+            | (interior.astype(jnp.int32) << 1) | c_valid.astype(jnp.int32))
+    row3 = (bi << 8) | jnp.clip(bk, 0, 255)
     # row 4: [best_pack : B | sec_score : B]; row 5: [exact_mult : B |
     # pad | counters : last 9] — fits any C_max >= 2B
     row4 = jnp.zeros(Cx, jnp.int32)
@@ -1044,10 +1091,6 @@ def fused_pipeline(didx: DeviceIndex, dkm: kmod.DeviceKmer, cfg: CandGenCfg,
     row5 = jnp.zeros(Cx, jnp.int32)
     row5 = jax.lax.dynamic_update_slice(row5, exact_mult, (0,))
     row5 = jax.lax.dynamic_update_slice(row5, counters, (Cx - 9,))
-    # big mode: the biased uint32 diagonal bitcasts through the int32 pack
-    # (host decode: .view(uint32) - BIAS, BatchResult)
-    row1 = (jax.lax.bitcast_convert_type(c_diag, jnp.int32)
-            if cfg.big else c_diag)
     out = jnp.stack([row0, row1, c_score, row3, row4, row5, row6])
     return out
 
@@ -1068,16 +1111,20 @@ def _sharded_pipeline(cfg: CandGenCfg, mesh):
         out = fused_pipeline(didx, dkm, cfg, packed2, meta, mmtab)
         s = jax.lax.axis_index("dp").astype(jnp.int32)
         cvalid = (out[0] & 1) > 0
+        # read field starts at bit 4 in both layouts; pack5's field is 18
+        # bits so ndev*B <= 2^18 (guaranteed by the dispatch gate)
         out = out.at[0].set(jnp.where(cvalid, out[0] + ((s * cfg.B) << 4),
                                       out[0]))
-        # best_ci (stored +1 in the first B slots of row 4) -> global
-        slots = jnp.arange(cfg.C_max) < cfg.B
-        bp = out[4]
+        # best_ci (stored +1 in the first B slots of the best_pack row)
+        # -> global candidate index
+        bp_row = 3 if cfg.pack5 else 4
+        slots = jnp.arange(out.shape[1]) < cfg.B
+        bp = out[bp_row]
         ci1 = bp >> 2
         bp2 = jnp.where(slots & (ci1 > 0),
                         (((ci1 - 1 + s * cfg.C_max) + 1) << 2) | (bp & 3),
                         bp)
-        out = out.at[4].set(bp2)
+        out = out.at[bp_row].set(bp2)
         return out
 
     return jax.jit(shard_map(
@@ -1108,20 +1155,75 @@ class BatchResult:
     def __init__(self, B0, out, cfg, ndev, K):
         self.B0 = B0
         Cl, Bl = cfg.C_max, cfg.B
-        # per-shard blocks along axis 1
-        row0 = out[0]
-        bp_l, sec_l, mult_l, ctr = [], [], [], []
-        for s in range(ndev):
-            r4 = out[4, s * Cl : (s + 1) * Cl]
-            r5 = out[5, s * Cl : (s + 1) * Cl]
-            bp_l.append(r4[:Bl])
-            sec_l.append(r4[Bl : 2 * Bl])
-            mult_l.append(r5[:Bl])
-            ctr.append(r5[Cl - 9 :])
-        bp = np.concatenate(bp_l)[:B0]
-        sec = np.concatenate(sec_l)[:B0]
-        mult = np.concatenate(mult_l)[:B0]
-        ctr = np.stack(ctr)
+        if cfg.pack5:
+            W = Cl + 128
+            bp_l, sm_l, ctr = [], [], []
+            cand_l = []
+            for s in range(ndev):
+                blk = out[:, s * W : (s + 1) * W]
+                bp_l.append(blk[3, :Bl])
+                sm_l.append(blk[4, :Bl])
+                ctr.append(blk[4, W - 9 :])
+                cand_l.append(blk[:3, :Cl])
+            bp = np.concatenate(bp_l)[:B0]
+            secmult = np.concatenate(sm_l)[:B0]
+            ctr = np.stack(ctr)
+            cand = np.concatenate(cand_l, axis=1)
+            r0 = cand[0].view(np.uint32)
+            valid = (r0 & 1) > 0
+            reads = ((r0 >> 4) & 0x3FFFF).astype(np.int32)
+            keep = valid & (reads < B0)
+            self.c_read = reads[keep]
+            self.c_fw = ((r0 >> 2) & 1).astype(bool)[keep]
+            self.c_interior = ((r0 >> 1) & 1).astype(bool)[keep]
+            self.c_nm = ((r0 >> 22) & 0x1FF).astype(np.int32)[keep]
+            self.c_ungapped = (r0 >> 31).astype(bool)[keep]
+            if cfg.big:
+                self.c_diag = (cand[1][keep].view(np.uint32)
+                               .astype(np.int64) - (cfg.L + cfg.K))
+            else:
+                self.c_diag = cand[1][keep]
+            r2 = cand[2][keep]
+            sc = (r2 & 0xFFFF) - 32768
+            self.c_score = np.where(sc <= -30000, NEG_INF, sc)
+            self.c_bk = (r2 >> 16) & 0xFF
+            self.c_bi = (r2 >> 24) & 0xFF
+            sec_raw = ((secmult.view(np.uint32) >> 16)
+                       .astype(np.int64) - 32768)
+            sec = np.where(sec_raw <= -30000, NEG_INF, sec_raw)
+            mult = (secmult & 0xFFFF).astype(np.int64)
+        else:
+            # per-shard blocks along axis 1 (full 7-row layout)
+            row0 = out[0]
+            bp_l, sec_l, mult_l, ctr = [], [], [], []
+            for s in range(ndev):
+                r4 = out[4, s * Cl : (s + 1) * Cl]
+                r5 = out[5, s * Cl : (s + 1) * Cl]
+                bp_l.append(r4[:Bl])
+                sec_l.append(r4[Bl : 2 * Bl])
+                mult_l.append(r5[:Bl])
+                ctr.append(r5[Cl - 9 :])
+            bp = np.concatenate(bp_l)[:B0]
+            sec = np.concatenate(sec_l)[:B0]
+            mult = np.concatenate(mult_l)[:B0]
+            ctr = np.stack(ctr)
+            valid = (row0 & 1) > 0
+            reads = row0 >> 4
+            keep = valid & (reads < B0)
+            self.c_read = reads[keep]
+            self.c_fw = ((row0 >> 2) & 1).astype(bool)[keep]
+            self.c_interior = ((row0 >> 1) & 1).astype(bool)[keep]
+            if cfg.big:
+                # biased uint32 diagonal bitcast through the int32 pack
+                self.c_diag = (out[1][keep].view(np.uint32).astype(np.int64)
+                               - (cfg.L + cfg.K))
+            else:
+                self.c_diag = out[1][keep]
+            self.c_score = out[2][keep]
+            self.c_bi = (out[3] >> 8)[keep]
+            self.c_bk = (out[3] & 255)[keep]
+            self.c_nm = (out[6] & 0xFFFF)[keep]
+            self.c_ungapped = ((out[6] >> 16) & 1).astype(bool)[keep]
         self.counters = ctr
         self.overflow = bool((ctr[:, 0] > cfg.C_max).any()
                              or (ctr[:, 1] > cfg.C_pre).any()
@@ -1130,23 +1232,6 @@ class BatchResult:
                              or (ctr[:, 4] > cfg.NH).any()
                              or (cfg.RS > 0
                                  and (ctr[:, 8] > cfg.RS).any()))
-        valid = (row0 & 1) > 0
-        reads = row0 >> 4
-        keep = valid & (reads < B0)
-        self.c_read = reads[keep]
-        self.c_fw = ((row0 >> 2) & 1).astype(bool)[keep]
-        self.c_interior = ((row0 >> 1) & 1).astype(bool)[keep]
-        if cfg.big:
-            # biased uint32 diagonal bitcast through the int32 pack
-            self.c_diag = (out[1][keep].view(np.uint32).astype(np.int64)
-                           - (cfg.L + cfg.K))
-        else:
-            self.c_diag = out[1][keep]
-        self.c_score = out[2][keep]
-        self.c_bi = (out[3] >> 8)[keep]
-        self.c_bk = (out[3] & 255)[keep]
-        self.c_nm = (out[6] & 0xFFFF)[keep]
-        self.c_ungapped = ((out[6] >> 16) & 1).astype(bool)[keep]
         self.c_ws = self.c_diag - K // 2
         self.c_end = self.c_ws + self.c_bi + self.c_bk
         # remap best_ci (packed-array index) to compacted space
@@ -1169,6 +1254,18 @@ class BatchResult:
             self.best_sc = np.full(B0, NEG_INF, np.int64)
 
 
+_FETCH_POOL = None
+
+
+def _shared_fetch_pool():
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _FETCH_POOL = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="candgen-d2h")
+    return _FETCH_POOL
+
+
 class CandGen:
     """Host driver of the fused device pipeline: padding/bucketing, packed
     transfers, dispatch (async) and fetch (single packed transfer)."""
@@ -1181,6 +1278,7 @@ class CandGen:
         self.off_rate = dev_fw.off_rate
         rdt = np.uint32 if self.big else np.int32
         put = lambda x: jax.device_put(x, device)
+        self._sticky = 1   # sticky size_mult after an overflow escalation
         self.didx = DeviceIndex(
             fw=dev_fw, mirror=dev_mirror,
             joined=put(idx.joined),
@@ -1197,10 +1295,10 @@ class CandGen:
         self._ktabs: dict[int, tuple] = {}
         # D2H runs on its own threads so result downloads (slow direction
         # on a tunneled link) overlap device compute; 2 threads cover a
-        # depth-3 dispatch pipeline
-        from concurrent.futures import ThreadPoolExecutor
-        self._fetch_pool = ThreadPoolExecutor(
-            max_workers=2, thread_name_prefix="candgen-d2h")
+        # depth-3 dispatch pipeline. One process-wide pool: CandGen
+        # instances are created per aligner (tests build dozens) and a
+        # per-instance pool would leak idle threads until exit.
+        self._fetch_pool = _shared_fetch_pool()
 
     def _mmtab(self, mmtab):
         if self._mmtab_dev is None:
@@ -1351,6 +1449,15 @@ class CandGen:
         Bl = B_local
         cw = min(_pow2(max(Lp // 2, 8), lo=8), max(8, GRID // (2 * Bl * 4)))
         n_chunks = -(-(Lp // 2) // cw)
+        # sticky capacity escalation: a workload that overflowed once keeps
+        # the larger sets (re-running every batch at 2x would be slower
+        # than just sizing for the workload)
+        size_mult = max(size_mult, self._sticky)
+        # compact output layout whenever its field widths suffice (see
+        # CandGenCfg.pack5); it also halves C_max — the bench-shape
+        # candidate count runs at ~1/read, so C_max = B covers it with the
+        # escalation path as the safety net
+        pack5 = (Lp <= 256 and self.K <= 256 and ndev * Bl <= (1 << 18))
         cfg = CandGenCfg(
             B=Bl, L=Lp, S=S, R=pol.n_seed_rounds, E=pol.max_sa_elts,
             seed_len=pol.seed_len, K=self.K,
@@ -1358,9 +1465,15 @@ class CandGen:
             n_chunks=n_chunks,
             NH=_pow2(8 * Bl * size_mult, lo=8192),
             C_pre=_pow2(8 * Bl * size_mult, lo=8192),
-            C_max=_pow2(2 * Bl * size_mult, lo=4096),
+            # pack5: ~1 candidate/read is the common case, but batches sit
+            # right AT that edge (a few reads with an extra diagonal), so
+            # a fixed 1024-lane headroom avoids pathological escalation on
+            # +epsilon batches; static non-pow2 shapes compile once per B
+            # like any other
+            C_max=(_pow2(Bl * size_mult, lo=4096) + 1024 if pack5
+                   else _pow2(2 * Bl * size_mult, lo=4096)),
             sw=self.sw_cfg, engine=self.engine,
-            has_short=has_short,
+            has_short=has_short, pack5=pack5,
             kmer_mode=("cuckoo" if isinstance(ktab, kmod.CuckooTable)
                        else "sorted"),
             kmer_steps=getattr(ktab, "search_steps", 1),
@@ -1369,7 +1482,7 @@ class CandGen:
             tbits=getattr(ktab, "tbits", 0),
             salt=getattr(ktab, "salt", 0),
             RS=(0 if has_short
-                else _pow2(max(Bl * S // 4, 2048) * size_mult)),
+                else _pow2(max(Bl // 4, 2048) * size_mult)),
             mmtab_t=tuple(int(x) for x in np.asarray(mmtab[:64])),
             sched=sched, static_len=static_len, raw_len=raw_len,
             big=self.big, off_rate=self.off_rate,

@@ -124,6 +124,48 @@ class PairedPolicy:
         return ok
 
 
+class PairedRecs:
+    """Lazy (rec1, rec2) sequence over the two mates' LazyRecs — AlnRec
+    objects (and their MD strings) materialize only for pairs a consumer
+    actually touches; count-only consumers (bench, summaries) read the
+    fast-path columns directly."""
+
+    __slots__ = ("r1", "r2")
+
+    def __init__(self, r1, r2):
+        self.r1, self.r2 = r1, r2
+
+    def __len__(self):
+        return len(self.r1)
+
+    def __getitem__(self, i):
+        return (self.r1[i], self.r2[i])
+
+    def __iter__(self):
+        for i in range(len(self.r1)):
+            yield (self.r1[i], self.r2[i])
+
+    def n_concordant(self) -> int:
+        """Concordant (proper) pair count without materializing records."""
+        r1 = self.r1
+        n = 0
+        soa = getattr(r1, "soa", None)
+        if soa is not None and soa.pair is not None:
+            n += int(soa.filled.sum())
+        filled = soa.filled if soa is not None and soa.pair is not None \
+            else None
+        if hasattr(r1, "cache_items"):
+            for i, rec in r1.cache_items():
+                in_soa = filled is not None and filled[i]
+                if rec.proper and not in_soa:
+                    n += 1
+        else:
+            for i in range(len(r1)):
+                if r1[i].proper:
+                    n += 1
+        return n
+
+
 class PairedAligner:
     def __init__(self, index, scoring=None, policy: SearchPolicy | None = None,
                  pe: PairedPolicy | None = None, engine: str = "auto",
@@ -392,16 +434,39 @@ class PairedAligner:
         return jobs
 
     def align_batch(self, b1: ReadBatch, b2: ReadBatch):
+        return self.align_wait(self.align_async(b1, b2))
+
+    def align_async(self, b1: ReadBatch, b2: ReadBatch):
+        """Dispatch BOTH mates' device programs back-to-back. The
+        reference's mate-coupling rule (mate-1 round-0 seed failure skips
+        mate-2's seed stage, bt2_search.cpp:3888/3909) is applied on the
+        HOST after both fetches (UnpairedAligner.apply_seed_skip) instead
+        of as a dispatch-time dependency — the st1-fetch -> st2-dispatch
+        serialization was the paired critical path."""
+        both_ok = (~self.up.compute_filtered(b1)) & \
+                  (~self.up.compute_filtered(b2))
+        h1 = self.up.collect_async(b1, boost=both_ok)
+        h2 = self.up.collect_async(b2, boost=both_ok)
+        return (b1, b2, both_ok, h1, h2)
+
+    def align_wait(self, handle):
         # Paired-mode coupling (ref: bt2_search.cpp:3392-3431, 3888, 3909):
         # when both mates pass filters, the seed interval is boosted 20% and
         # rounds are halved; and mate 1 failing its round-0 seeds aborts
         # mate 2's seed stage for the round (which, with halved rounds, is
         # the whole seed stage).
-        both_ok = (~self.up.compute_filtered(b1)) & \
-                  (~self.up.compute_filtered(b2))
-        st1 = self.up.collect(b1, boost=both_ok)
-        st2 = self.up.collect(b2, boost=both_ok,
-                              seed_skip=both_ok & st1.seeds_failed_r0)
+        b1, b2, both_ok, h1, h2 = handle
+        st1 = self.up.collect_wait(h1)
+        skip2 = both_ok & st1.seeds_failed_r0
+        if h2[0] == "host":
+            # the host-path collect is lazy (runs at wait): inject the
+            # dispatch-time seed_skip it would have received
+            h2 = ("host", h2[1], h2[2], skip2)
+            st2 = self.up.collect_wait(h2)
+        else:
+            st2 = self.up.collect_wait(h2)
+            if skip2.any():
+                self.up.apply_seed_skip(st2, skip2)
         B = st1.B
         # per-batch --met counters, both mates summed (ref: the paired
         # halves of the PerfMetrics merge, bt2_search.cpp:3229-3248)
@@ -451,7 +516,7 @@ class PairedAligner:
         for i in range(B):
             if not fastcp[i]:
                 self._decide(st1, st2, i, scored1[i], scored2[i], combos[i])
-        return list(zip(st1.recs, st2.recs))
+        return PairedRecs(st1.recs, st2.recs)
 
     def _run_rescue(self, jobs, st1, st2, b1, b2):
         """Rectangle DP of the missing mate over fragment windows, batched;

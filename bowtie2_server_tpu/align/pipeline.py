@@ -238,6 +238,22 @@ class LazyByRead(dict):
         self._build()
         return super().__iter__()
 
+    def values(self):
+        self._build()
+        return super().values()
+
+    def __len__(self):
+        self._build()
+        return super().__len__()
+
+    def pop(self, k, *default):
+        self._build(k)
+        return super().pop(k, *default)
+
+    # NOTE: only the overridden methods above are part of the supported
+    # API; truthiness (`if by_read:`) reflects only what has materialized
+    # so far — use len() or an explicit key probe instead.
+
 
 class LazyFin:
     """fin_info list materializing band windows on demand (a slice of the
@@ -587,36 +603,37 @@ class UnpairedAligner:
         _, batch, boost, seed_skip, h, meta = handle
         res = self.candgen.fetch(h)
         if res.overflow:
-            # capacity escalation: re-run the same batch with 4x set sizes
-            # before giving up to the (much slower) host path (ref: the
-            # reference's graceful huge-range handling via RowSampler,
-            # aligner_sw_driver.h:179)
+            # capacity escalation: re-run the same batch with 2x, then
+            # 4x/16x set sizes before giving up to the (much slower) host
+            # path (ref: the reference's graceful huge-range handling via
+            # RowSampler, aligner_sw_driver.h:179). Successful escalations
+            # become STICKY so a repetitive workload sizes itself once and
+            # stays there instead of re-running every batch.
             filtered = meta["filtered"]
             active = ~filtered
-            h2 = self.candgen.dispatch(
-                batch.seqs, batch.quals, meta["lens"],
-                active & (not self.nofw), active & (not self.norc),
-                meta["minsc"], self.sc.mm_penalties(),
-                perfect=meta["perfect"], boost=boost, seed_skip=seed_skip,
-                size_mult=4)
-            res = self.candgen.fetch(h2)
+
+            def redispatch(mult):
+                h2 = self.candgen.dispatch(
+                    batch.seqs, batch.quals, meta["lens"],
+                    active & (not self.nofw), active & (not self.norc),
+                    meta["minsc"], self.sc.mm_penalties(),
+                    perfect=meta["perfect"], boost=boost,
+                    seed_skip=seed_skip, size_mult=mult)
+                r = self.candgen.fetch(h2)
+                if not r.overflow:
+                    self.candgen._sticky = max(self.candgen._sticky, mult)
+                return r
+
+            for mult in ((2, 4, 16) if self.big else (2, 4)):
+                res = redispatch(mult)
+                if not res.overflow:
+                    break
             if res.overflow:
                 if self.big:
-                    # one more escalation; the host path has no big-index
-                    # resolve (full SA lives off-device)
-                    h3 = self.candgen.dispatch(
-                        batch.seqs, batch.quals, meta["lens"],
-                        active & (not self.nofw), active & (not self.norc),
-                        meta["minsc"], self.sc.mm_penalties(),
-                        perfect=meta["perfect"], boost=boost,
-                        seed_skip=seed_skip, size_mult=16)
-                    res = self.candgen.fetch(h3)
-                    if res.overflow:
-                        raise RuntimeError(
-                            "big-index candidate capacity exceeded at "
-                            "16x; raise size_mult or batch smaller")
-                else:
-                    return self._collect_host(batch, boost, seed_skip)
+                    raise RuntimeError(
+                        "big-index candidate capacity exceeded at "
+                        "16x; raise size_mult or batch smaller")
+                return self._collect_host(batch, boost, seed_skip)
         return self._build_state(batch, res, meta)
 
     def _build_state(self, batch: ReadBatch, res, meta):
@@ -763,8 +780,19 @@ class UnpairedAligner:
             if b > a:
                 ref_m[ri_, a - wl : b - wl] = joined[a:b]
             wlens[ri_] = wr - wl
-        r_best, r_bi, r_bj = sw_align_batch(
-            rd_m, clens, mm_m, ref_m, wlens, self.sw_cfg, engine=self.engine)
+        # Host numpy engine: this runs between fused batches, where a
+        # device call would queue behind the 2-3 in-flight fused programs
+        # (~2 batch periods of added latency — the round-4 throughput
+        # regression). Rect jobs are rare (genome-edge/run-boundary
+        # windows), so numpy wins below ~128 jobs.
+        if len(jobs) <= 128:
+            from ..ops.sw import sw_align_numpy_batch
+            r_best, r_bi, r_bj = sw_align_numpy_batch(
+                rd_m, clens, mm_m, ref_m, wlens, self.sw_cfg)
+        else:
+            r_best, r_bi, r_bj = sw_align_batch(
+                rd_m, clens, mm_m, ref_m, wlens, self.sw_cfg,
+                engine=self.engine)
         for ri_, (ci, wl, wr) in enumerate(jobs):
             st.best[ci] = int(r_best[ri_])
             st.end_joined[ci] = wl + int(r_bj[ri_])
@@ -1311,6 +1339,58 @@ class UnpairedAligner:
             exact_mult=exact_mult, filtered=filtered,
             seeds_failed_r0=seeds_failed_r0, fw_seqs=fw_seqs)
 
+    def apply_seed_skip(self, st, mask) -> None:
+        """Host-side application of the paired seed_skip rule for reads in
+        `mask` (ref: bt2_search.cpp:3888/3909 — mate-1 round-0 seed failure
+        aborts mate-2's seed stage, leaving only the up-front exact/1mm
+        stages). Applying it HERE, after an unconditional mate-2 dispatch,
+        removes the st1-fetch -> st2-dispatch data dependency so both
+        mates' device programs run back-to-back (the paired-throughput
+        critical path). Mirrors the device rule (candgen stage 7): keep
+        candidates scoring `perfect` (exactSweep's set) or ungapped with
+        <= 1 substitution (oneMmSearch's set); recompute the per-read
+        best/secbest selection exactly as the device does (max score ->
+        leftmost diag -> fw preferred -> largest candidate index)."""
+        res = getattr(st, "sel", None)
+        mask = np.asarray(mask, bool)
+        if res is None:
+            # host-path state: candidates carry no per-candidate nm/ungapped
+            # detail; keep only perfect-score hits (st.best is the only
+            # selection input downstream)
+            for i in np.nonzero(mask)[0]:
+                for ci in st.by_read.get(int(i), []):
+                    if st.best[ci] != st.perfect[i]:
+                        st.best[ci] = NEG_INF
+            return
+        NEGH = NEG_INF // 2
+        for i in np.nonzero(mask)[0]:
+            i = int(i)
+            ids = np.asarray(st.by_read.get(i, []), np.int64)
+            if not len(ids):
+                continue
+            allowed = ((st.best[ids] == st.perfect[i])
+                       | (res.c_ungapped[ids] & (res.c_nm[ids] <= 1)))
+            st.best[ids[~allowed]] = NEG_INF
+            sel = ids[allowed & res.c_interior[ids]
+                      & (st.best[ids] >= st.minsc[i])]
+            if not len(sel):
+                res.best_ci[i] = -1
+                res.best_sc[i] = NEG_INF
+                res.sec_sc[i] = NEG_INF
+                continue
+            sc = st.best[sel]
+            m1 = sc == sc.max()
+            dg = res.c_diag[sel]
+            m2 = m1 & (dg == dg[m1].min())
+            fwv = res.c_fw[sel].astype(np.int64)
+            m3 = m2 & (fwv == fwv[m2].max())
+            bci = int(sel[m3].max())
+            res.best_ci[i] = bci
+            res.best_sc[i] = st.best[bci]
+            dist = (res.c_end[sel] != res.c_end[bci]) | \
+                   (res.c_fw[sel] != res.c_fw[bci])
+            res.sec_sc[i] = int(sc[dist].max()) if dist.any() else NEG_INF
+
     def read_seed(self, st, i) -> int:
         """Per-read 32-bit seed from the read content (ref: pat.cpp:129
         genRandSeed). With --non-deterministic, an arbitrary stream seeded
@@ -1409,7 +1489,13 @@ class UnpairedAligner:
                         # the search is not exhausted: MAPQ unavailable
                         # (ref: unique.h:125 — !canMax && !exhausted &&
                         # !hasSecbest -> 255; verified on the a_on_unique
-                        # tier golden)
+                        # tier golden). The reference's `exhausted`
+                        # condition is dropped here: our batch search has
+                        # no per-read exhaustion state, so an exhausted
+                        # -k/-a search would get 255 where the reference
+                        # computes a real MAPQ (golden-backed on all
+                        # tested cases; revisit if a tier case can
+                        # construct an exhausted -a search).
                         st.recs[i].mapq = 255
                     if k == 1:
                         break

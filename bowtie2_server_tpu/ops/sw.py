@@ -101,6 +101,71 @@ def sw_score_numpy(rd, mmpen, ref, cfg: SwConfig):
     return int(best), bi, bj
 
 
+def sw_align_numpy_batch(rd, lens, mmpen, ref, reflens, cfg: SwConfig):
+    """Vectorized host column-scan — same semantics (including tie rules)
+    as the device engines. Used for SMALL job counts on the fused path's
+    host side: a device call there would queue behind the in-flight fused
+    batches (~2 batch periods of latency), so a few-problem rectangle DP
+    is cheaper on the host even at numpy speed.
+
+    rd: [B, Lq] codes (pad 5); lens: [B]; mmpen: [B, Lq] int;
+    ref: [B, Lc] codes (pad 4); reflens: [B].
+    Returns (best, best_i, best_j) int64 arrays, NEG_INF when no cell.
+    """
+    B, lq = rd.shape
+    lc = ref.shape[1]
+    neg = np.int64(NEG_INF)
+    rd_t = np.asarray(rd, np.int64).T                    # [Lq, B]
+    mm_t = np.asarray(mmpen, np.int64).T
+    lens_a = np.asarray(lens, np.int64)
+    reflens_a = np.asarray(reflens, np.int64)
+    rows = np.arange(lq, dtype=np.int64)[:, None]
+    gap_ok = (rows >= cfg.gapbar) & (rows < lens_a[None, :] - cfg.gapbar)
+    last_mask = (rows < lens_a[None, :]) if cfg.local else \
+        (rows == lens_a[None, :] - 1)
+    h = np.zeros((lq, B), np.int64) if cfg.local else \
+        np.full((lq, B), neg, np.int64)
+    e = np.full((lq, B), neg, np.int64)
+    best = np.full(B, neg, np.int64)
+    bi = np.full(B, -1, np.int64)
+    bj = np.full(B, -1, np.int64)
+    is_n_rd = rd_t > 3
+    for j in range(lc):
+        rcol = np.asarray(ref[:, j], np.int64)[None, :]
+        is_n = is_n_rd | (rcol > 3)
+        s = np.where(is_n, -cfg.npen,
+                     np.where(rd_t == rcol, cfg.ma, -mm_t))
+        e = np.maximum(e - cfg.rdg_ext, h - cfg.rdg_open)
+        e[~gap_ok] = neg
+        h_up = np.concatenate([np.zeros((1, B), np.int64), h[:-1]], axis=0)
+        hnf = np.maximum(h_up + s, e)
+        hnf_src = np.where(rows >= (cfg.gapbar - 1), hnf, neg)
+        f = np.concatenate([np.full((1, B), neg, np.int64),
+                            hnf_src[:-1] - cfg.rfg_open], axis=0)
+        d = 1
+        while d < lq:
+            f[d:] = np.maximum(f[d:], f[:-d] - d * cfg.rfg_ext)
+            d *= 2
+        f[~gap_ok] = neg
+        h = np.maximum(hnf, f)
+        if cfg.local:
+            np.maximum(h, 0, out=h)
+        scored = np.where(last_mask, h, neg)
+        col_best = scored.max(axis=0)
+        if cfg.local:   # ties: larger row
+            col_arg = np.where(scored == col_best[None, :],
+                               rows, -1).max(axis=0)
+            ok = (j < reflens_a) & (col_best >= best)
+        else:           # ties: smallest row
+            col_arg = np.where(scored == col_best[None, :],
+                               rows, np.int64(1 << 30)).min(axis=0)
+            ok = (j < reflens_a) & (col_best > best)
+        best = np.where(ok, col_best, best)
+        bi = np.where(ok, col_arg, bi)
+        bj = np.where(ok, j, bj)
+    return best, bi, bj
+
+
 # ------------------------------------------------- shared column update ----
 
 def _column_update(cfg: SwConfig, lq_pad: int, rd, mmpen, gap_ok, last_mask,

@@ -69,6 +69,13 @@ class Bt2Server:
         self._conn_seq = 0
         self._server = None
 
+    def close(self):
+        """Stop the dispatcher worker threads (long-lived processes that
+        create many servers — the test suite — would otherwise accumulate
+        idle threads; ref: the server's acknowledged shutdown TODO,
+        pat.h:1946-1954, done properly here)."""
+        self._dispatch.shutdown()
+
     # ---- config block (ref: pat.cpp:1990-2011 reply_config) ----
 
     def config_lines(self, header_prefix: bool) -> bytes:

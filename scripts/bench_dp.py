@@ -67,6 +67,7 @@ def run(quiet: bool = False, P: int = 32768, L: int = 100, K: int = 32):
     cells = P * L * K
     cps = cells / best
     kind = jax.devices()[0].device_kind
+    assumed = kind not in _VPU_PEAK
     peak = _VPU_PEAK.get(kind, _VPU_PEAK["TPU v5 lite"])
     frac = cps * ops_per_cell(K, cfg.local) / peak
     if not quiet:
@@ -74,7 +75,9 @@ def run(quiet: bool = False, P: int = 32768, L: int = 100, K: int = 32):
               f"({best*1e3:.2f} ms / {cells/1e6:.0f} Mcells), "
               f"roofline {frac*100:.0f}% "
               f"(assuming {ops_per_cell(K, cfg.local)} ops/cell, "
-              f"{peak:.2e} VPU ops/s peak)", file=sys.stderr)
+              f"{peak:.2e} VPU ops/s peak"
+              f"{' — UNKNOWN device kind, v5e peak assumed' if assumed else ''})",
+              file=sys.stderr)
     return cps, frac
 
 

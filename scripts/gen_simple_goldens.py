@@ -135,7 +135,7 @@ def main():
             continue
         recs = parse_sam_body(sam)
         golden[case["name"]] = dict(
-            args=case["args"] + case.get("cargs", []),
+            args=[str(a) for a in case["args"] + case.get("cargs", [])],
             records=[[q, r] for q, r in recs])
         n_ok += 1
         print(f"ok {case['name']}: {len(recs)} records")

@@ -21,7 +21,7 @@ from bowtie2_server_tpu.io.fastq import make_batch
 tmp = Path("tmp")
 fa, names, seqs, quals = make_workload(tmp)
 idx = FmIndex.load(tmp / "bench_genome_idx")
-BATCH = 8192
+BATCH = 32768
 al = UnpairedAligner(idx)
 batch = make_batch(names[:BATCH], seqs[:BATCH], quals[:BATCH])
 al.align_batch(batch)  # warmup

@@ -87,7 +87,8 @@ def validate_record(fields, refs, sc: Scoring):
 
 def validate_file(ref_fa, sam_path, local=False, max_errors=10):
     names, seqs = parse_fasta(ref_fa)
-    refs = dict(zip(names, seqs))
+    # SAM RNAME is whitespace-truncated; parse_fasta keeps full headers
+    refs = {n.split()[0]: s for n, s in zip(names, seqs)}
     sc = Scoring.default_local() if local else Scoring.default_e2e()
     n = bad = 0
     msgs = []

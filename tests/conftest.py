@@ -23,6 +23,21 @@ def pytest_configure(config):
         "markers", "slow: full-dataset parity tier (minutes; run in CI)")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_programs():
+    """Clear JAX's compiled-program caches between test modules.
+
+    The whole suite compiles hundreds of distinct program shapes; letting
+    them accumulate in one process crashed XLA CPU compilation deep into
+    the run (observed as a deterministic segfault at
+    test_simple_tier[read_len200_mm] when everything ran in one process).
+    Per-module clearing bounds live compiled-program memory while keeping
+    intra-module reuse (the expensive tier modules compile-share heavily
+    within themselves)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)

