@@ -70,6 +70,21 @@ def _tab6_is_paired(path) -> bool:
 
 
 def cmd_align(args):
+    if args.srv_port is not None or args.srv_host is not None:
+        # drop-in client mode: the reference client binary takes
+        # --server-host/--server-port on its align command line
+        # (ref: bt2_search.cpp:677-679, env vars :526-536)
+        import os as _os
+        args.host = args.srv_host or _os.environ.get(
+            "BT2CLT_SERVER_HOST", "localhost")
+        args.port = args.srv_port or int(_os.environ.get(
+            "BT2CLT_SERVER_PORT", "8080"))
+        args.index = str(args.index).rsplit("/", 1)[-1]
+        return cmd_client(args)
+    if args.preserve_tags and not args.bam:
+        # ref: bt2_search.cpp:1675-1677
+        sys.exit("Error: --preserve-tags can only be used when aligning "
+                 "BAM reads.")
     if args.cpu:
         _force_cpu()
     _enable_compile_cache()
@@ -328,8 +343,11 @@ def cmd_align(args):
                           maxfrag=args.maxins)
         pal = PairedAligner(idx, scoring=sc, policy=pol, pe=pe,
                             no_mixed=args.no_mixed,
-                            no_discordant=args.no_discordant)
+                            no_discordant=args.no_discordant,
+                            sc_unmapped_tlen=args.sc_unmapped_tlen)
         pal.up.mapq_v = args.mapq_v
+        if args.dp_log_opp:
+            pal.dp_log_opp = open(args.dp_log_opp, "w")
         for b1, b2 in iter_bam_paired(args.U, batch_size=args.batch):
             pairs = pal.align_batch(b1, b2)
             for r1, r2 in pairs:
@@ -347,9 +365,12 @@ def cmd_align(args):
                           olap_ok=not args.no_overlap)
         pal = PairedAligner(idx, scoring=sc, policy=pol, pe=pe,
                             no_mixed=args.no_mixed,
-                            no_discordant=args.no_discordant)
+                            no_discordant=args.no_discordant,
+                            sc_unmapped_tlen=args.sc_unmapped_tlen)
         pal.up.nofw, pal.up.norc = args.nofw, args.norc
         pal.up.mapq_v = args.mapq_v
+        if args.dp_log_opp:
+            pal.dp_log_opp = open(args.dp_log_opp, "w")
         from .io.fastq import prefetch
         it1 = prefetch(iter_fastq(args.m1, **fastq_kw))
         it2 = prefetch(iter_fastq(args.m2, **fastq_kw))
@@ -404,8 +425,11 @@ def cmd_align(args):
                           maxfrag=args.maxins)
         pal = PairedAligner(idx, scoring=sc, policy=pol, pe=pe,
                             no_mixed=args.no_mixed,
-                            no_discordant=args.no_discordant)
+                            no_discordant=args.no_discordant,
+                            sc_unmapped_tlen=args.sc_unmapped_tlen)
         pal.up.mapq_v = args.mapq_v
+        if args.dp_log_opp:
+            pal.dp_log_opp = open(args.dp_log_opp, "w")
         for b1, b2 in iter_tab_file(tabsrc, batch_size=args.batch,
                                     qual_conv=qual_conv):
             if sample_on:
@@ -424,8 +448,11 @@ def cmd_align(args):
                           maxfrag=args.maxins)
         pal = PairedAligner(idx, scoring=sc, policy=pol, pe=pe,
                             no_mixed=args.no_mixed,
-                            no_discordant=args.no_discordant)
+                            no_discordant=args.no_discordant,
+                            sc_unmapped_tlen=args.sc_unmapped_tlen)
         pal.up.mapq_v = args.mapq_v
+        if args.dp_log_opp:
+            pal.dp_log_opp = open(args.dp_log_opp, "w")
         for b1, b2 in iter_interleaved(args.interleaved,
                                        batch_size=args.batch,
                                        qual_conv=qual_conv):
@@ -443,7 +470,8 @@ def cmd_align(args):
                                iter_raw_reads, iter_tab_file)
         if args.bam:
             from .io.bam import iter_bam
-            reads_iter = iter_bam(args.U, batch_size=args.batch)
+            reads_iter = iter_bam(args.U, batch_size=args.batch,
+                                  preserve_tags=args.preserve_tags)
         elif args.cmdline_reads:
             reads_iter = iter_cmdline_reads(args.cmdline_reads,
                                             batch_size=args.batch,
@@ -507,7 +535,8 @@ def cmd_align(args):
         use_native = not (args.passthrough or args.xeq
                           or args.sam_append_comment or args.show_rand_seed
                           or args.omit_sec_seq or opt_flags
-                          or un_f or al_f or bam_w is not None)
+                          or un_f or al_f or bam_w is not None
+                          or args.preserve_tags)
         out_b = getattr(out, "buffer", None)
         for recs in batch_results():
             blob = None
@@ -692,7 +721,7 @@ def cmd_dp(args):
               f"{cig}\t{md}")
 
 
-def main(argv=None):
+def make_parser():
     p = argparse.ArgumentParser(prog="bowtie2_server_tpu")
     p.add_argument("--version", action="version",
                    version="bowtie2_server_tpu 0.1.0 (capabilities of "
@@ -715,9 +744,9 @@ def main(argv=None):
     pb.set_defaults(fn=cmd_build)
 
     pa = sub.add_parser("align")
-    pa.add_argument("-x", dest="index", default=None)
+    pa.add_argument("-x", "--index", dest="index", default=None)
     pa.add_argument("--ref-string", dest="ref_string", default=None)
-    pa.add_argument("-U", dest="U", default=None)
+    pa.add_argument("-U", "--unpaired", dest="U", default=None)
     pa.add_argument("-1", dest="m1", default=None)
     pa.add_argument("-2", dest="m2", default=None)
     pa.add_argument("-S", "--output", dest="S", default=None)
@@ -745,9 +774,9 @@ def main(argv=None):
                     action="store_const", const="very-sensitive")
     pa.add_argument("--cpu", action="store_true")
     pa.add_argument("--batch", "--reads-per-batch", type=int, default=2048)
-    pa.add_argument("-k", dest="khits", type=int, default=1)
-    pa.add_argument("-a", dest="all_hits", action="store_true")
-    pa.add_argument("-N", dest="seed_mms", type=int, default=0,
+    pa.add_argument("-k", "--khits", dest="khits", type=int, default=1)
+    pa.add_argument("-a", "--all", dest="all_hits", action="store_true")
+    pa.add_argument("-N", "--seedmms", dest="seed_mms", type=int, default=0,
                     choices=(0, 1),
                     help="mismatches allowed inside a seed "
                     "(ref: searchSeedBi, aligner_seed.cpp:668)")
@@ -758,7 +787,7 @@ def main(argv=None):
     pa.add_argument("--norc", action="store_true")
     pa.add_argument("--ignore-quals", dest="ignore_quals",
                     action="store_true")
-    pa.add_argument("--score-min", dest="score_min", default=None)
+    pa.add_argument("--score-min", "--min-score", dest="score_min", default=None)
     pa.add_argument("--ma", type=int, default=None,
                     help="match bonus (ref: MA policy token)")
     pa.add_argument("--mp", default=None,
@@ -774,9 +803,9 @@ def main(argv=None):
     pa.add_argument("--policy", default=None,
                     help="raw ';'-separated policy string "
                     "(ref: aligner_seed_policy.cpp)")
-    pa.add_argument("-L", dest="seedlen", type=int, default=None)
-    pa.add_argument("-i", dest="ival", default=None)
-    pa.add_argument("-R", dest="rounds", type=int, default=None)
+    pa.add_argument("-L", "--seedlen", dest="seedlen", type=int, default=None)
+    pa.add_argument("-i", "--seedival", dest="ival", default=None)
+    pa.add_argument("-R", "--seed-rounds", dest="rounds", type=int, default=None)
     pa.add_argument("--dpad", type=int, default=None,
                     help="DP padding: max gap excursion per side (default "
                     "15; widens the banded kernel per policy — the "
@@ -880,17 +909,20 @@ def main(argv=None):
     pa.add_argument("--al-conc", dest="al_conc", default=None,
                     help="write concordant pairs to files")
     pa.add_argument("--no-unal", dest="no_unal", action="store_true")
-    pa.add_argument("--rg-id", dest="rg_id", default=None)
-    pa.add_argument("--rg", action="append", default=[])
-    pa.add_argument("--met-stderr", dest="met_stderr", action="store_true")
-    pa.add_argument("--met-file", dest="met_file", default=None)
-    pa.add_argument("--met", type=float, default=1.0)
+    pa.add_argument("--rg-id", "--sam-rg-id", dest="rg_id", default=None)
+    pa.add_argument("--rg", "--sam-rg", "--sam-RG", "--RG", action="append",
+                    default=[])
+    pa.add_argument("--met-stderr", "--metrics-stderr", dest="met_stderr",
+                    action="store_true")
+    pa.add_argument("--met-file", "--metrics-file", dest="met_file",
+                    default=None)
+    pa.add_argument("--met", "--metrics", type=float, default=1.0)
     pa.add_argument("--met-read", "--metrics-per-read", dest="met_per_read",
                     action="store_true")
     pa.add_argument("--quiet", action="store_true")
     pa.add_argument("-t", "--time", dest="timing", action="store_true",
                     help="print stage wall-clock times")
-    pa.add_argument("--dp-log", dest="dp_log", default=None,
+    pa.add_argument("--dp-log", "--log-dp", dest="dp_log", default=None,
                     help="log DP problems (replayable with the dp "
                     "subcommand)")
     pa.add_argument("-p", "--threads", type=int, default=1,
@@ -900,7 +932,8 @@ def main(argv=None):
                     choices=(1, 2, 3),
                     help="MAPQ calculation version (ref: unique.h:509 "
                     "new_mapq; default 2)")
-    pa.add_argument("--non-deterministic", dest="non_deterministic",
+    pa.add_argument("--non-deterministic", "--nondeterministic",
+                    dest="non_deterministic",
                     action="store_true",
                     help="seed per-read RNG from wall clock instead of "
                     "read content (ref: bt2_search.cpp:3215)")
@@ -913,7 +946,8 @@ def main(argv=None):
     pa.add_argument("--solexa-quals", dest="solexa", action="store_true",
                     help="input qualities are Solexa log-odds +64 "
                     "(ref: qual.h:113, qual.cpp:57 solToPhred)")
-    pa.add_argument("--int-quals", dest="int_quals", action="store_true",
+    pa.add_argument("--int-quals", "--integer-quals", dest="int_quals",
+                    action="store_true",
                     help="input qualities are space-separated integers "
                     "(ref: qual.h:156 intToPhred33)")
     pa.add_argument("--seed", type=int, default=0,
@@ -991,6 +1025,55 @@ def main(argv=None):
                     "(default)")
     pa.add_argument("--overlap", dest="no_overlap", action="store_false",
                     help="overlapping mates are concordant (default)")
+    pa.add_argument("--preserve-tags", dest="preserve_tags",
+                    action="store_true",
+                    help="BAM input: pass the original records' optional "
+                    "tags through to the output (ref: bt2_search.cpp:736, "
+                    "sam.cpp:881 printPreservedOptFlags)")
+    pa.add_argument("--soft-clipped-unmapped-tlen", dest="sc_unmapped_tlen",
+                    action="store_true",
+                    help="local mode: exclude soft-clipped bases from TLEN "
+                    "(ref: bt2_search.cpp:731 ARG_SC_UNMAPPED_TLEN)")
+    pa.add_argument("--log-dp-opp", dest="dp_log_opp", default=None,
+                    help="log opposite-mate (rescue) DP problems to FILE "
+                    "(ref: bt2_search.cpp:730 ARG_LOG_DP_OPP)")
+    pa.add_argument("--server-host", dest="srv_host", default=None,
+                    help="client drop-in: align via a running server "
+                    "(ref: opts.h:166; env BT2CLT_SERVER_HOST)")
+    pa.add_argument("--server-port", dest="srv_port", type=int, default=None,
+                    help="client drop-in: align via a running server "
+                    "(ref: opts.h:167; env BT2CLT_SERVER_PORT)")
+    pa.add_argument("--wrapper", default=None,
+                    help="accepted for compatibility; the Perl wrapper "
+                    "passes --wrapper basic-0 (ref: bt2_search.cpp:749)")
+    pa.add_argument("--mapq-print-inputs", "--mapq-extra-inputs",
+                    action="store_true",
+                    help="accepted for compatibility; no-op: the "
+                    "reference's YI:Z writer is commented out "
+                    "(unique.h:383-390), so the flag changes nothing "
+                    "observable there either")
+    pa.add_argument("--version", action="version",
+                    version="bowtie2_server_tpu 0.1.0 (capabilities of "
+                    "bowtie2-server 2.5.4)")
+    pa.add_argument("--usage", action="help",
+                    help="print usage (ref: --usage)")
+
+    class _ArgDesc(argparse.Action):
+        def __call__(self, parser, ns, values, option_string=None):
+            # name\t0|1 per option (ref: bt2_search.cpp:750 printArgDesc)
+            for act in parser._actions:
+                takes = 0 if act.nargs in (0, None) and isinstance(
+                    act, (argparse._StoreTrueAction, argparse._StoreFalseAction,
+                          argparse._HelpAction, argparse._VersionAction,
+                          _ArgDesc)) else 1
+                for opt in act.option_strings:
+                    print(f"{opt.lstrip('-')}\t{takes}")
+            parser.exit(0)
+
+    pa.add_argument("--arg-desc", nargs=0, action=_ArgDesc,
+                    help="print option names and arg arity, then exit "
+                    "(ref: bt2_search.cpp:750)")
+
     # ---- accepted no-ops (structural in this design; see README compat
     # table). Each names the reference knob it would map to. ----
     for flag, why in (
@@ -1122,7 +1205,11 @@ def main(argv=None):
     pd.add_argument("--cpu", action="store_true")
     pd.set_defaults(fn=cmd_dp)
 
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
     return args.fn(args)
 
 

@@ -169,12 +169,18 @@ class PairedRecs:
 class PairedAligner:
     def __init__(self, index, scoring=None, policy: SearchPolicy | None = None,
                  pe: PairedPolicy | None = None, engine: str = "auto",
-                 no_mixed: bool = False, no_discordant: bool = False):
+                 no_mixed: bool = False, no_discordant: bool = False,
+                 sc_unmapped_tlen: bool = False):
         self.up = UnpairedAligner(index, scoring=scoring, policy=policy,
                                   engine=engine)
         self.pe = pe or PairedPolicy()
         self.no_mixed = no_mixed        # ref: --no-mixed (gMixedMode off)
         self.no_discordant = no_discordant  # ref: --no-discordant
+        # --soft-clipped-unmapped-tlen: soft-clipped bases count as
+        # unmapped, i.e. excluded from TLEN extents (ref:
+        # bt2_search.cpp:731 ARG_SC_UNMAPPED_TLEN)
+        self.sc_unmapped_tlen = sc_unmapped_tlen
+        self.dp_log_opp = None   # file: log rescue DP problems (--log-dp-opp)
 
     # approximate candidate ref start: end - readlen + 1 (exact for
     # ungapped; off by <= #gap bases otherwise — the final classification
@@ -574,6 +580,16 @@ class PairedAligner:
             wlens[ci] = width
             wls[ci] = wl
             metas.append((which, i, opp_fw, wl))
+        if self.dp_log_opp is not None:
+            # --log-dp-opp: opposite-mate DP problems in the same
+            # read<TAB>window format as --dp-log (ref: bt2_dp.cpp replay)
+            from ..utils import dna as _dna
+            for ci2 in range(C):
+                if metas[ci2] is None:
+                    continue
+                self.dp_log_opp.write(
+                    _dna.decode(rd_m[ci2, : int(clens[ci2])]) + "\t"
+                    + _dna.decode(ref_m[ci2, : int(wlens[ci2])]) + "\n")
         best, bi, bj = sw_align_batch(
             rd_m, np.maximum(clens, 1), mm_m, ref_m, wlens, up.sw_cfg,
             engine=up.engine)
@@ -686,8 +702,7 @@ class PairedAligner:
         r2.mate_aligned = r1.aligned
         self._set_mate_fields(r1, r2)
 
-    @staticmethod
-    def _set_mate_fields(r1, r2):
+    def _set_mate_fields(self, r1, r2):
         for r, other in ((r1, r2), (r2, r1)):
             r.mate_fw = other.fw
             r.mate_ref_id = other.ref_id
@@ -700,11 +715,16 @@ class PairedAligner:
         as_pair = getattr(r1, "yt", None) in ("CP", "DP")
         # TLEN: signed outermost distance when both aligned on the same ref
         if as_pair and r1.aligned and r2.aligned and r1.ref_id == r2.ref_id:
-            # TLEN spans the UNCLIPPED read extents (soft-clipped bases count
-            # toward the fragment — observed reference behavior in local mode)
-            lo = min(r1.pos - _lead_clip(r1), r2.pos - _lead_clip(r2))
-            hi = max(r1.pos + _ref_span(r1) + _tail_clip(r1),
-                     r2.pos + _ref_span(r2) + _tail_clip(r2))
+            # TLEN spans the UNCLIPPED read extents (soft-clipped bases
+            # count toward the fragment — observed reference default);
+            # --soft-clipped-unmapped-tlen excludes them
+            if self.sc_unmapped_tlen:
+                lo = min(r1.pos, r2.pos)
+                hi = max(r1.pos + _ref_span(r1), r2.pos + _ref_span(r2))
+            else:
+                lo = min(r1.pos - _lead_clip(r1), r2.pos - _lead_clip(r2))
+                hi = max(r1.pos + _ref_span(r1) + _tail_clip(r1),
+                         r2.pos + _ref_span(r2) + _tail_clip(r2))
             t = hi - lo
             for r, other in ((r1, r2), (r2, r1)):
                 if r.pos != other.pos:

@@ -141,6 +141,7 @@ class AlnRec:
     pair_multi: bool = False  # pair had >1 concordant combo (summary stat)
     comment: bytes | None = None   # FASTQ header comment (--sam-append-comment)
     orig_rec: bytes | None = None  # original record text (--passthrough)
+    preserved: str | None = None   # BAM input tags (--preserve-tags)
     yf: str = "NS"                 # filter reason when filtered (YF:Z:)
     ym: bool = False               # repetitive under -M (YM:i, maxed flag)
 
@@ -402,6 +403,8 @@ class LazyRecs:
                 rec.comment = b.comments[i]
             if b.origs is not None:
                 rec.orig_rec = b.origs[i]
+            if getattr(b, "bam_tags", None):
+                rec.preserved = b.bam_tags[i]
             if self.filtered[i]:
                 rec.filtered = True
                 if self.qc is not None and self.qc[i]:
@@ -741,28 +744,41 @@ class UnpairedAligner:
                 st.best[drop] = NEG_INF
         return st
 
-    def _rect_dp(self, st, rect_ids):
-        """Host rectangle-DP path for run-boundary candidates (rare), with
-        reference-style window trimming (ref: dp_framer.cpp:81)."""
+    def _rect_frame(self, st, ci):
+        """REFERENCE-space rectangle window for a run-boundary candidate,
+        with N leeway (ref: dp_framer.cpp:81-125 frameSeedExtensionRect):
+        the window is built from the full reference INCLUDING ambiguous
+        bases, so a read may span a short N gap between unambiguous runs,
+        and up to nceil columns may lie beyond the reference ends (padded
+        N by get_ref_stretch). Returns (rid, wl, wr) or None."""
+        i, _, diag = st.cands[int(ci)]
+        rl = int(st.lens[i])
         mg2 = 2 * self.pol.maxhalf
-        joined = self.idx.joined
+        ri = np.searchsorted(self._run_starts, max(diag, 0),
+                             side="right") - 1
+        ri = min(max(ri, 0), len(self._run_starts) - 1)
+        rid = int(self.idx.run_ref_id[ri])
+        roff = int(self.idx.run_ref_off[ri]) + (
+            diag - int(self._run_starts[ri]))
+        nc = int(st.nceil[i])
+        maxns = nc - 1 if nc >= rl else nc   # dp_framer.cpp:106-107
+        reflen = int(self.idx.ref_lens[rid])
+        wl = max(roff - mg2, -maxns)
+        wr = min(roff + rl - 1 + mg2, reflen + maxns - 1) + 1
+        return (rid, wl, wr) if wr > wl else None
+
+    def _rect_dp(self, st, rect_ids):
+        """Host rectangle-DP path for run-boundary candidates (rare),
+        framed in reference space with N leeway (_rect_frame)."""
         jobs = []
         for ci in rect_ids:
-            i, is_fw, diag = st.cands[int(ci)]
-            rl = int(st.lens[i])
-            ri = np.searchsorted(self._run_starts, max(diag, 0),
-                                 side="right") - 1
-            ri = min(max(ri, 0), len(self._run_starts) - 1)
-            lo = int(self._run_starts[ri])
-            hi = int(self._run_ends[ri])
-            wl = max(lo, diag - mg2)
-            wr = min(hi, diag + rl + mg2)
-            if wr > wl:
-                jobs.append((int(ci), wl, wr))
+            fr = self._rect_frame(st, ci)
+            if fr is not None:
+                jobs.append((int(ci),) + fr)
         if not jobs:
             return
-        lq = max(int(st.lens[st.cands[ci][0]]) for ci, _, _ in jobs)
-        wmax = max(wr - wl for _, wl, wr in jobs)
+        lq = max(int(st.lens[st.cands[ci][0]]) for ci, _, _, _ in jobs)
+        wmax = max(wr - wl for _, _, wl, wr in jobs)
         lq = -(-lq // 64) * 64
         wmax = -(-wmax // 128) * 128
         nr = len(jobs)
@@ -771,14 +787,13 @@ class UnpairedAligner:
         ref_m = np.full((nr, wmax), 4, np.uint8)
         clens = np.zeros(nr, np.int32)
         wlens = np.zeros(nr, np.int32)
-        for ri_, (ci, wl, wr) in enumerate(jobs):
+        for ri_, (ci, rid, wl, wr) in enumerate(jobs):
             rd, mm, rl = st.read_arrays(ci)
             rd_m[ri_, :rl] = rd
             mm_m[ri_, :rl] = mm
             clens[ri_] = rl
-            a, b = max(wl, 0), min(wr, self.idx.n)
-            if b > a:
-                ref_m[ri_, a - wl : b - wl] = joined[a:b]
+            ref_m[ri_, : wr - wl] = self.idx.get_ref_stretch(rid, wl,
+                                                             wr - wl)
             wlens[ri_] = wr - wl
         # Host numpy engine: this runs between fused batches, where a
         # device call would queue behind the 2-3 in-flight fused programs
@@ -793,11 +808,11 @@ class UnpairedAligner:
             r_best, r_bi, r_bj = sw_align_batch(
                 rd_m, clens, mm_m, ref_m, wlens, self.sw_cfg,
                 engine=self.engine)
-        for ri_, (ci, wl, wr) in enumerate(jobs):
+        for ri_, (ci, rid, wl, wr) in enumerate(jobs):
             st.best[ci] = int(r_best[ri_])
             st.end_joined[ci] = wl + int(r_bj[ri_])
-            st.fin_info.set(ci, ("rect", int(r_bi[ri_]), int(r_bj[ri_]),
-                                 ref_m[ri_, : wr - wl], wl))
+            st.fin_info.set(ci, ("rectr", int(r_bi[ri_]), int(r_bj[ri_]),
+                                 ref_m[ri_, : wr - wl], (rid, wl)))
 
     def _finish_fast(self, st) -> np.ndarray:
         """Vectorized commit of the device-selected best alignment per read
@@ -959,6 +974,8 @@ class UnpairedAligner:
                 recs[i].comment = batch.comments[i]
             if batch.origs is not None:
                 recs[i].orig_rec = batch.origs[i]
+            if getattr(batch, "bam_tags", None):
+                recs[i].preserved = batch.bam_tags[i]
 
         # -- filters (ref: bt2_search.cpp:3323-3352) --
         n_counts = ((fw_seqs > 3) & (np.arange(L)[None, :] < lens[:, None])).sum(1)
@@ -1219,7 +1236,9 @@ class UnpairedAligner:
         joined = self.idx.joined
 
         band_ids, rect_ids = [], []
-        rect_geom = []  # (wl, wr) trimmed window per rect candidate
+        rect_geom = []  # (rid, wl, wr) reference-space window per rect cand
+        from types import SimpleNamespace as _NS
+        frame_st = _NS(cands=cands, lens=lens, nceil=nceil)
         run_idx = np.searchsorted(
             self._run_starts,
             np.maximum([c[2] for c in cands], 0), side="right") - 1
@@ -1231,18 +1250,13 @@ class UnpairedAligner:
             if diag - c_half >= lo and diag - c_half + rl + K <= hi:
                 band_ids.append(ci)
             else:
-                # hard-trim at run bounds. The reference allows up to nceil
-                # N columns of leeway off the reference ends
-                # (dp_framer.cpp:108-114) but rejects alignments with more
-                # than nceil Ns post-backtrace (aligner_sw.cpp:1813); on
-                # N-free genomes hard trimming reproduces its observable
-                # behavior (overhangs become insertions). TODO: N leeway for
-                # reads spanning short N gaps in N-containing genomes.
-                wl = max(lo, diag - mg2)
-                wr = min(hi, diag + rl + mg2)
-                if wr > wl:
+                # run-boundary candidate: REFERENCE-space rectangle with N
+                # leeway (ref: dp_framer.cpp:108-114; _rect_frame) — the
+                # window spans internal N gaps via the full reference
+                fr = self._rect_frame(frame_st, ci)
+                if fr is not None:
                     rect_ids.append(ci)
-                    rect_geom.append((wl, wr))
+                    rect_geom.append(fr)
 
         C = len(cands)
         best = np.full(C, NEG_INF, np.int64)
@@ -1287,7 +1301,7 @@ class UnpairedAligner:
         if rect_ids:
             nr = len(rect_ids)
             lq = max(int(lens[cands[ci][0]]) for ci in rect_ids)
-            wmax = max(wr - wl for wl, wr in rect_geom)
+            wmax = max(wr - wl for _, wl, wr in rect_geom)
             # bucket shapes (bounded compile count on TPU)
             lq = -(-lq // 64) * 64
             wmax = -(-wmax // 128) * 128
@@ -1296,23 +1310,24 @@ class UnpairedAligner:
             ref_m = np.full((nr, wmax), 4, np.uint8)
             clens = np.zeros(nr, np.int32)
             wlens = np.zeros(nr, np.int32)
-            for ri, (ci, (wl, wr)) in enumerate(zip(rect_ids, rect_geom)):
+            for ri, (ci, (rid, wl, wr)) in enumerate(zip(rect_ids,
+                                                         rect_geom)):
                 rd, mm, rl = read_arrays(ci)
                 rd_m[ri, :rl] = rd
                 mm_m[ri, :rl] = mm
                 clens[ri] = rl
-                a, b = max(wl, 0), min(wr, self.idx.n)
-                if b > a:
-                    ref_m[ri, a - wl : b - wl] = joined[a:b]
+                ref_m[ri, : wr - wl] = self.idx.get_ref_stretch(rid, wl,
+                                                                wr - wl)
                 wlens[ri] = wr - wl
             r_best, r_bi, r_bj = sw_align_batch(
                 rd_m, clens, mm_m, ref_m, wlens, self.sw_cfg,
                 engine=self.engine)
-            for ri, (ci, (wl, wr)) in enumerate(zip(rect_ids, rect_geom)):
+            for ri, (ci, (rid, wl, wr)) in enumerate(zip(rect_ids,
+                                                         rect_geom)):
                 best[ci] = int(r_best[ri])
                 end_joined[ci] = wl + int(r_bj[ri])
-                fin_info[ci] = ("rect", int(r_bi[ri]), int(r_bj[ri]),
-                                ref_m[ri, : wr - wl], wl)
+                fin_info[ci] = ("rectr", int(r_bi[ri]), int(r_bj[ri]),
+                                ref_m[ri, : wr - wl], (rid, wl))
 
         if self.timing is not None:
             self.timing["dp"] = self.timing.get("dp", 0.0) + \
@@ -1549,15 +1564,27 @@ class UnpairedAligner:
                     rd[:rl], mm, window, cfg, bi, bk)
                 read_end = bi + 1
         stats = cigar_md_stats(rl, edits, read_start, read_end)
-        joined_pos = wstart + start_col
         xn = int((window[max(0, start_col):start_col + stats["ref_span"]]
                   > 3).sum())
         if xn > nc:
             return False  # too many reference Ns (ref: nCeil / maxns)
-        ref_id, ref_off, valid = self.idx.joined_to_ref(
-            np.array([joined_pos]), aln_len=stats["ref_span"] - xn)
-        if not valid[0]:
-            return False  # straddles an unambiguous-run boundary: reject
+        if kind == "rectr":
+            # reference-space rectangle (N-leeway framing, _rect_frame):
+            # coordinates are direct; reject reference-end overhangs
+            # (ref: gReportOverhangs defaults false)
+            rid, wl = wstart
+            pos = wl + start_col
+            if pos < 0 or pos + stats["ref_span"] > int(
+                    self.idx.ref_lens[rid]):
+                return False
+            ref_id = np.array([rid])
+            ref_off = np.array([pos])
+        else:
+            joined_pos = wstart + start_col
+            ref_id, ref_off, valid = self.idx.joined_to_ref(
+                np.array([joined_pos]), aln_len=stats["ref_span"] - xn)
+            if not valid[0]:
+                return False  # straddles a run boundary: reject
         rec.aligned = True
         rec.fw = bool(is_fw)
         rec.ref_id = int(ref_id[0])

@@ -51,7 +51,7 @@ def iter_bam_paired(path, batch_size: int = 4096):
     from .fastq import make_batch as _mk
     n1, s1, q1, n2, s2, q2 = [], [], [], [], [], []
     pend: dict[str, tuple] = {}
-    for name, seq, qual, flag in _iter_bam_records(path):
+    for name, seq, qual, flag, _tb in _iter_bam_records(path):
         if not flag & 0x1:
             continue
         mate1 = bool(flag & 0x40)
@@ -76,6 +76,51 @@ def iter_bam_paired(path, batch_size: int = 4096):
             n1, s1, q1, n2, s2, q2 = [], [], [], [], [], []
     if n1:
         yield _mk(n1, s1, q1), _mk(n2, s2, q2)
+
+
+_TAG_FMT = {ord("c"): ("<b", 1), ord("C"): ("<B", 1), ord("s"): ("<h", 2),
+            ord("S"): ("<H", 2), ord("i"): ("<i", 4), ord("I"): ("<I", 4),
+            ord("f"): ("<f", 4)}
+
+
+def _tags_to_sam(buf: bytes) -> str:
+    """Decode a BAM optional-field block to tab-joined SAM text tags
+    (ref: sam.cpp:881 printPreservedOptFlags — the --preserve-tags
+    emitter; SAM spec 4.2.4 type mapping: c/C/s/S/i/I -> i, f -> f,
+    A/Z/H verbatim, B arrays)."""
+    out = []
+    i, n = 0, len(buf)
+    while i + 3 <= n:
+        tag = buf[i : i + 2].decode("latin1")
+        vt = buf[i + 2]
+        i += 3
+        if vt in _TAG_FMT:
+            fmt, sz = _TAG_FMT[vt]
+            (v,) = struct.unpack_from(fmt, buf, i)
+            i += sz
+            if vt == ord("f"):
+                out.append(f"{tag}:f:{v:g}")
+            else:
+                out.append(f"{tag}:i:{v}")
+        elif vt == ord("A"):
+            out.append(f"{tag}:A:{chr(buf[i])}")
+            i += 1
+        elif vt in (ord("Z"), ord("H")):
+            end = buf.index(b"\x00", i)
+            out.append(f"{tag}:{chr(vt)}:{buf[i:end].decode('latin1')}")
+            i = end + 1
+        elif vt == ord("B"):
+            sub = buf[i]
+            (cnt,) = struct.unpack_from("<i", buf, i + 1)
+            i += 5
+            fmt, sz = _TAG_FMT[sub]
+            vals = struct.unpack_from("<" + fmt[1] * cnt, buf, i)
+            i += sz * cnt
+            out.append(f"{tag}:B:{chr(sub)}," + ",".join(
+                f"{v:g}" if sub == ord("f") else str(v) for v in vals))
+        else:
+            break   # unknown type: stop decoding this record's tags
+    return "\t".join(out)
 
 
 def _iter_bam_records(path):
@@ -126,6 +171,7 @@ def _iter_bam_records(path):
             seq4 = rec[off : off + nb]
             off += nb
             qual = rec[off : off + l_seq]
+            tagblock = rec[off + l_seq :]
             chars = []
             for i in range(l_seq):
                 b4 = (seq4[i // 2] >> (4 if i % 2 == 0 else 0)) & 0xF
@@ -136,22 +182,33 @@ def _iter_bam_records(path):
             if flag & 0x10:  # stored revcomp: restore original orientation
                 seq = dna.decode(dna.revcomp(dna.encode(seq))).encode()
                 q = q[::-1]
-            yield name, seq, q, flag
+            yield name, seq, q, flag, tagblock
 
 
-def iter_bam(path, batch_size: int = 4096, keep_paired_flags: bool = False):
+def iter_bam(path, batch_size: int = 4096, keep_paired_flags: bool = False,
+             preserve_tags: bool = False):
     """Yield ReadBatch objects of the reads stored in a BAM file
-    (unpaired view: every primary record becomes a read)."""
-    names, seqs, quals = [], [], []
-    for name, seq, q, _flag in _iter_bam_records(path):
+    (unpaired view: every primary record becomes a read). With
+    preserve_tags, each batch carries the records' decoded SAM-text tag
+    strings in `bam_tags` (ref: --preserve-tags, bt2_search.cpp:736)."""
+    names, seqs, quals, tags = [], [], [], []
+    for name, seq, q, _flag, tb in _iter_bam_records(path):
         names.append(name)
         seqs.append(seq)
         quals.append(q)
+        if preserve_tags:
+            tags.append(_tags_to_sam(tb))
         if len(names) >= batch_size:
-            yield make_batch(names, seqs, quals)
-            names, seqs, quals = [], [], []
+            b = make_batch(names, seqs, quals)
+            if preserve_tags:
+                b.bam_tags = tags
+            yield b
+            names, seqs, quals, tags = [], [], [], []
     if names:
-        yield make_batch(names, seqs, quals)
+        b = make_batch(names, seqs, quals)
+        if preserve_tags:
+            b.bam_tags = tags
+        yield b
 
 
 # ------------------------------------------------------------- BAM output -

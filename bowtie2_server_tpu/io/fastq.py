@@ -31,6 +31,9 @@ class ReadBatch:
     origs: list[bytes] | None = None
     # Qseq filter flags ('0' = failed QC; ref: read_qseq.cpp:217)
     qc_fail: np.ndarray | None = None
+    # decoded SAM-text tag strings per read for BAM --preserve-tags
+    # (ref: sam.cpp:881 printPreservedOptFlags)
+    bam_tags: list[str] | None = None
 
     def __len__(self):
         return len(self.names)

@@ -202,6 +202,10 @@ def sam_record(rec: AlnRec, ref_names, rg_id: str | None = None,
                           np.uint8)
         name = rec.name.encode() if isinstance(rec.name, str) else rec.name
         line += f"\tZS:i:{gen_rand_seed(codes, q, name)}"
+    if rec.preserved:
+        # BAM input tags pass through verbatim, after generated flags and
+        # before the comment (ref: aln_sink.cpp:2139 order)
+        line += "\t" + rec.preserved
     if append_comment:
         line += comment_field(rec)
     return line
