@@ -627,7 +627,8 @@ def cmd_server(args):
     from .server.bt2srv import run_server
     run_server(args.index, port=args.port, host=args.host, local=args.local,
                preset=args.preset, batch_size=args.batch,
-               n_workers=args.n_workers)
+               n_workers=args.n_workers,
+               remote_workers=args.remote_workers or None)
 
 
 def cmd_client(args):
@@ -1178,6 +1179,12 @@ def make_parser():
                     help="device groups serving packs (round-robin "
                     "dispatch across connections; ref: the shared worker "
                     "pool, pat.cpp:2016-2086)")
+    ps.add_argument("--remote-worker", dest="remote_workers",
+                    action="append", default=[], metavar="HOST:PORT",
+                    help="add a backend BT2SRV server (one per remote "
+                    "host over DCN) to the worker pool; packs relay over "
+                    "the wire protocol and merge in submission order "
+                    "(multi-host scale-out, SURVEY §2.3 row 3)")
     ps.set_defaults(fn=cmd_server)
 
     pc = sub.add_parser("client")

@@ -1458,8 +1458,12 @@ class CandGen:
         # candidate count runs at ~1/read, so C_max = B covers it with the
         # escalation path as the safety net
         pack5 = (Lp <= 256 and self.K <= 256 and ndev * Bl <= (1 << 18))
+        # E scales with -k so the fused shape resolves enough elements per
+        # range to honor khits (ref: ReportingParams::mult boosting ROWM,
+        # aln_sink.h:264-283); -a and huge -k take the host path
+        E_eff = _pow2(max(pol.max_sa_elts, min(pol.khits, 1024)))
         cfg = CandGenCfg(
-            B=Bl, L=Lp, S=S, R=pol.n_seed_rounds, E=pol.max_sa_elts,
+            B=Bl, L=Lp, S=S, R=pol.n_seed_rounds, E=E_eff,
             seed_len=pol.seed_len, K=self.K,
             k1=_pow2(4 * Bl * size_mult, lo=4096), chunk_w=cw,
             n_chunks=n_chunks,

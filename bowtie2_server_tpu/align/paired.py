@@ -23,7 +23,8 @@ from ..io.fastq import ReadBatch
 from ..ops.sw import NEG_INF, sw_align_batch
 from ..utils.rng import RandomSource, select_by_score_order
 from .mapq import mapq_batch, mapq_fn
-from .pipeline import AlnRec, LazyRecs, SearchPolicy, UnpairedAligner
+from .pipeline import (AlnRec, BigCapacityError, LazyRecs, SearchPolicy,
+                       UnpairedAligner)
 
 CONCORDANT, DISCORDANT = 1, 0
 
@@ -462,6 +463,21 @@ class PairedAligner:
         # mate 2's seed stage for the round (which, with halved rounds, is
         # the whole seed stage).
         b1, b2, both_ok, h1, h2 = handle
+        try:
+            return self._align_wait_inner(b1, b2, both_ok, h1, h2)
+        except BigCapacityError:
+            # big-mode degradation: halve the pair batch and retry (see
+            # UnpairedAligner.align_wait)
+            B = len(b1)
+            if B < 2:
+                raise
+            mid = B // 2
+            from .pipeline import ConcatRecs
+            return ConcatRecs([
+                self.align_batch(b1.slice(0, mid), b2.slice(0, mid)),
+                self.align_batch(b1.slice(mid, B), b2.slice(mid, B))])
+
+    def _align_wait_inner(self, b1, b2, both_ok, h1, h2):
         st1 = self.up.collect_wait(h1)
         skip2 = both_ok & st1.seeds_failed_r0
         if h2[0] == "host":

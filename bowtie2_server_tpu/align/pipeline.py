@@ -54,10 +54,18 @@ def band_for(maxhalf: int) -> int:
     return k
 
 # -a sentinel: "report all" (ref: ReportingParams::allHits, aln_sink.h:288
-# khits == max int). Large khits route to the host path with a boosted
-# SA-resolution cap (ref: ReportingParams::mult boosting ROWM/POSF).
+# khits == max int). -a routes to the host path, which enumerates ranges
+# UNBOUNDED in chunks of _RESOLVE_CHUNK (the reference's -a is unbounded,
+# aln_sink.h:288); -k up to _FUSED_KMAX runs fused with the per-range
+# element capacity E scaled to k.
 ALL_HITS = 1 << 30
-_RESOLVE_HARD_CAP = 65536   # per-range enumeration bound on the host path
+_RESOLVE_CHUNK = 65536      # per-device-call enumeration chunk
+_FUSED_KMAX = 1024          # largest -k served by the fused device path
+
+
+class BigCapacityError(RuntimeError):
+    """Big-index fused capacity exhausted at max escalation; callers
+    degrade by splitting the batch (align_wait) instead of failing."""
 from ..utils import dna
 from ..utils.scoring import Scoring
 from ..utils.simple_func import SimpleFunc, SQRT
@@ -364,6 +372,41 @@ class FastSoA:
             rec.qual = rec.orig_qual[::-1]
 
 
+class ConcatRecs:
+    """Concatenated view over per-half results (capacity-degradation batch
+    splitting): behaves like the underlying rec sequences."""
+
+    __slots__ = ("parts", "_starts")
+
+    def __init__(self, parts):
+        self.parts = parts
+        self._starts = []
+        n = 0
+        for p in parts:
+            self._starts.append(n)
+            n += len(p)
+
+    def __len__(self):
+        return self._starts[-1] + len(self.parts[-1]) if self.parts else 0
+
+    def __getitem__(self, i):
+        for k in range(len(self.parts) - 1, -1, -1):
+            if i >= self._starts[k]:
+                return self.parts[k][i - self._starts[k]]
+        raise IndexError(i)
+
+    def __iter__(self):
+        for p in self.parts:
+            yield from p
+
+    def n_aligned(self) -> int:
+        return sum(p.n_aligned() if hasattr(p, "n_aligned")
+                   else sum(r.aligned for r in p) for p in self.parts)
+
+    def n_concordant(self) -> int:
+        return sum(p.n_concordant() for p in self.parts)
+
+
 class LazyRecs:
     """Per-read AlnRec sequence materialized on first access. The fused
     fast path keeps its results as arrays (FastSoA); an AlnRec object is
@@ -538,7 +581,20 @@ class UnpairedAligner:
 
     def align_wait(self, handle):
         batch, chandle = handle
-        st = self.collect_wait(chandle)
+        try:
+            st = self.collect_wait(chandle)
+        except BigCapacityError:
+            # big-mode degradation: halve the batch and retry (smaller
+            # batches get proportionally smaller fixed capacities but the
+            # candidate demand of the pathological reads stays constant,
+            # so the 16x escalation succeeds at some width)
+            B = len(batch)
+            if B < 2:
+                raise
+            mid = B // 2
+            return ConcatRecs([
+                self.align_batch(batch.slice(0, mid)),
+                self.align_batch(batch.slice(mid, B))])
         B = st.B
         if self.pol.khits == 1:
             # khits == 1 never yields extra records: run the general path
@@ -566,11 +622,11 @@ class UnpairedAligner:
 
     def collect_async(self, batch: ReadBatch, boost=None, seed_skip=None):
         """Dispatch the device-side search for a batch (non-blocking)."""
-        if (self.candgen is None or self.dp_log is not None
-                or self.timing is not None
-                or self.pol.khits > self.pol.max_sa_elts):
-            # large -k / -a need more SA elements per range than the fused
-            # shape resolves — run the host path with a boosted cap
+        if self.candgen is None or self.pol.khits > _FUSED_KMAX:
+            # -a (and -k beyond _FUSED_KMAX) needs unbounded per-range
+            # enumeration — the host path chunks its resolves; -k up to
+            # _FUSED_KMAX runs fused with E scaled to k (CandGen.dispatch),
+            # and -t/--dp-log are served ON the fused path (collect_wait)
             if self.big:
                 raise NotImplementedError(
                     "big-index mode supports only the fused device path "
@@ -604,7 +660,15 @@ class UnpairedAligner:
             _, batch, boost, seed_skip = handle
             return self._collect_host(batch, boost, seed_skip)
         _, batch, boost, seed_skip, h, meta = handle
+        import time as _time
+        _tf = _time.time()
         res = self.candgen.fetch(h)
+        if self.timing is not None:
+            # -t on the fused path: device+transfer wall per batch (the
+            # fused program is one kernel — stage splits live in
+            # scripts/profile_cuts.py; ref: timer.h Timer blocks)
+            self.timing["device_fetch"] = self.timing.get(
+                "device_fetch", 0.0) + (_time.time() - _tf)
         if res.overflow:
             # capacity escalation: re-run the same batch with 2x, then
             # 4x/16x set sizes before giving up to the (much slower) host
@@ -633,11 +697,25 @@ class UnpairedAligner:
                     break
             if res.overflow:
                 if self.big:
-                    raise RuntimeError(
-                        "big-index candidate capacity exceeded at "
-                        "16x; raise size_mult or batch smaller")
+                    # degrade instead of failing: align_wait splits the
+                    # batch in half and retries (BigCapacityError)
+                    raise BigCapacityError(
+                        "big-index candidate capacity exceeded at 16x")
                 return self._collect_host(batch, boost, seed_skip)
-        return self._build_state(batch, res, meta)
+        st = self._build_state(batch, res, meta)
+        if self.dp_log is not None:
+            # --dp-log on the fused path: the DP problems are the banded
+            # windows (ref: the --dp-log problem dump, bt2_search.cpp:3117
+            # -> bt2_dp.cpp replay)
+            from ..utils import dna as _dna
+            for ci in range(len(st.cands)):
+                fi = st.fin_info[ci]
+                if fi is None:
+                    continue
+                rd, _, rl = st.read_arrays(ci)
+                self.dp_log.write(_dna.decode(rd[:rl]) + "\t"
+                                  + _dna.decode(fi[3]) + "\n")
+        return st
 
     def _build_state(self, batch: ReadBatch, res, meta):
         """Package fused-pipeline outputs as the per-batch state consumed by
@@ -939,15 +1017,15 @@ class UnpairedAligner:
         return soa
 
     def _resolve_cap(self) -> int:
-        """Effective per-range SA-resolution cap: boosted for large -k / -a
-        so enumeration isn't silently truncated at the fused-path default
-        (ref: ReportingParams::mult boosting ROWM/POSF, aln_sink.h:264-283;
-        the reference's -a is effectively unbounded — we bound host
-        enumeration at _RESOLVE_HARD_CAP per range)."""
+        """Effective per-range SA-resolution cap PER DEVICE CALL: boosted
+        for large -k / -a (ref: ReportingParams::mult boosting ROWM/POSF,
+        aln_sink.h:264-283). Under -a the host path's exact-hit
+        enumeration loops over chunks of this size, so the TOTAL is
+        unbounded like the reference's (aln_sink.h:288)."""
         k = self.pol.khits
         if k <= self.pol.max_sa_elts:
             return self.pol.max_sa_elts
-        return int(min(k + 1, _RESOLVE_HARD_CAP))
+        return int(min(k + 1, _RESOLVE_CHUNK))
 
     def _collect_host(self, batch: ReadBatch, boost=None, seed_skip=None):
         """Run all candidate-generation + DP stages; return the per-batch
@@ -1020,17 +1098,33 @@ class UnpairedAligner:
         act2 = np.concatenate([active, active])
         half2 = lens2 // 2
 
+        unbounded = self.pol.khits >= ALL_HITS
+
         def add_fw_hits(r, top, bot):
             if not len(r):
                 return
-            cnt = np.minimum(bot - top, rcap)
-            offs = dfm.sa_resolve(self.dev, top, cnt, rcap)
-            for s in range(len(r)):
-                i, is_fw = (int(r[s]), True) if r[s] < B else \
-                    (int(r[s]) - B, False)
-                for o in offs[s]:
-                    if o >= 0:
-                        cand.add((i, is_fw, int(o)))
+            total = (bot - top).astype(np.int64)
+            base = np.zeros_like(total)
+            while True:
+                rem = total - base
+                act = np.nonzero(rem > 0)[0]
+                if not len(act):
+                    break
+                cnt = np.minimum(rem[act], rcap)
+                offs = dfm.sa_resolve(self.dev, top[act] + base[act],
+                                      cnt, rcap)
+                for s, ai in enumerate(act):
+                    i, is_fw = (int(r[ai]), True) if r[ai] < B else \
+                        (int(r[ai]) - B, False)
+                    for o in offs[s]:
+                        if o >= 0:
+                            cand.add((i, is_fw, int(o)))
+                base[act] += rcap
+                if not unbounded:
+                    # bounded modes truncate at the per-call cap, as before
+                    # (-a loops until every range is fully enumerated —
+                    # the reference's unbounded -a, aln_sink.h:288)
+                    break
 
         if self.dev_mirror is not None:
             hits, exact = dfm.one_mm_branch_hits(

@@ -38,6 +38,18 @@ class ReadBatch:
     def __len__(self):
         return len(self.names)
 
+    def slice(self, lo: int, hi: int) -> "ReadBatch":
+        """Row-range view (capacity-degradation batch splitting)."""
+        return ReadBatch(
+            names=self.names[lo:hi], seqs=self.seqs[lo:hi],
+            quals=self.quals[lo:hi], lens=self.lens[lo:hi],
+            raw_seq=self.raw_seq[lo:hi], raw_qual=self.raw_qual[lo:hi],
+            comments=self.comments[lo:hi] if self.comments else None,
+            origs=self.origs[lo:hi] if self.origs else None,
+            qc_fail=self.qc_fail[lo:hi] if self.qc_fail is not None
+            else None,
+            bam_tags=self.bam_tags[lo:hi] if self.bam_tags else None)
+
 
 # Solexa(log-odds)->Phred table for --solexa-quals (ref: qual.cpp:57
 # solToPhred; derived here as round(10*log10(1+10^(sol/10))) which

@@ -43,7 +43,14 @@ class Bt2Server:
     def __init__(self, index_base: str, index_name: str | None = None,
                  local: bool = False, preset: str | None = None,
                  batch_size: int = FLUSH_READS, engine: str = "auto",
-                 n_workers: int = 1):
+                 n_workers: int = 1, remote_workers: list[str] | None = None):
+        """remote_workers: "host:port" addresses of backend BT2SRV servers
+        (one per remote host over DCN); packs relay to them over the same
+        wire protocol and merge in submission order — the multi-HOST
+        scale-out axis (SURVEY §2.3 row 3: the reference's shared worker
+        pool over per-connection queues, pat.cpp:2016-2086, mapped to
+        per-host shards with a deterministic merge). Mixable with local
+        device-group workers."""
         from ..index.bt2_reader import detect_index
         from .dispatch import AlignDispatcher, make_device_groups
         _, loader = detect_index(str(index_base))
@@ -64,6 +71,9 @@ class Bt2Server:
             pal.up = up  # share device state within the group
             workers.append((up, pal))
         self.up, self.pal = workers[0]
+        for addr in remote_workers or []:
+            host, _, port = addr.rpartition(":")
+            workers.append(("remote", host, int(port), self.index_name))
         self._dispatch = AlignDispatcher(workers)
         self.batch_size = batch_size
         self._conn_seq = 0
@@ -94,11 +104,37 @@ class Bt2Server:
     # ---- alignment of one flushed pack ----
 
     @staticmethod
+    def _align_pack_remote(worker, rows):
+        """Relay one pack to a backend BT2SRV server over the wire
+        protocol (our own client, concurrent send/receive) and reassemble
+        the response bytes with per-read END READ markers. One connection
+        per pack keeps the relay stateless; the handshake cost amortizes
+        over the pack (ref: the DCN-dispatch mapping, SURVEY §2.3 row 3)."""
+        from .client import Bt2Client
+        _, host, port, iname = worker
+        cl = Bt2Client(host, port, iname)
+        cl.send_reads([r[:3] if r[3] is None else r for r in rows])
+        by_name: dict[str, list[str]] = {}
+        for line in cl.finish():
+            by_name.setdefault(line.split("\t", 1)[0], []).append(line)
+        out = []
+        for r in rows:
+            key = r[0]
+            if key.endswith("/1") or key.endswith("/2"):
+                key = key[:-2]
+            for line in by_name.get(key, ()):
+                out.append(line)
+            out.append("@CO END READ\t" + key)
+        return ("\n".join(out) + "\n").encode()
+
+    @staticmethod
     def _align_pack(worker, rows, ref_names):
         """rows: list of (name, seq, qual, name2|None, seq2|None, qual2|None).
         Runs on a dispatcher worker thread against that worker's device
         group. Returns the response bytes (SAM records + END READ
         markers)."""
+        if isinstance(worker, tuple) and worker and worker[0] == "remote":
+            return Bt2Server._align_pack_remote(worker, rows)
         up, pal = worker
         out = []
         paired_rows = [r for r in rows if r[3] is not None]
