@@ -105,8 +105,10 @@ def cmd_align(args):
         args.local = True
     if args.bwa_sw_like:
         args.local = True
-    if args.end_to_end and args.local:
-        sys.exit("Error: --end-to-end and --local are mutually exclusive")
+    if args.sc_unmapped_tlen and not args.local:
+        # ref: bt2_search.cpp:1664-1667
+        sys.exit("ERROR: --soft-clipped-unmapped-tlen can only be set "
+                 "for local alignments.")
     if args.trim_to is not None and (args.trim5 or args.trim3):
         # ref: bt2_search.cpp:1226 "--trim-to and --trim3/--trim5"
         sys.exit("Error: --trim-to and --trim3/--trim5 are mutually "
@@ -751,10 +753,15 @@ def make_parser():
     pa.add_argument("-1", dest="m1", default=None)
     pa.add_argument("-2", dest="m2", default=None)
     pa.add_argument("-S", "--output", dest="S", default=None)
-    pa.add_argument("--local", action="store_true")
-    pa.add_argument("--end-to-end", dest="end_to_end", action="store_true",
-                    help="end-to-end alignment mode (the default; "
-                    "mutually exclusive with --local; ref: ARG_END_TO_END)")
+    # --local / --end-to-end share one dest: LAST WINS, as in the
+    # reference (localAlign just flips, bt2_search.cpp:1415/1419 — no
+    # mutual-exclusion error)
+    pa.add_argument("--local", dest="local", action="store_const",
+                    const=True, default=False)
+    pa.add_argument("--end-to-end", dest="local", action="store_const",
+                    const=False,
+                    help="end-to-end alignment mode (the default; last of "
+                    "--local/--end-to-end wins; ref: ARG_END_TO_END)")
     pa.add_argument("--preset", default=None,
                     help="very-fast|fast|sensitive|very-sensitive[-local]")
     pa.add_argument("--very-fast", dest="preset", action="store_const",

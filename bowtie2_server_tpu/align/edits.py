@@ -101,8 +101,19 @@ def traceback(rd, mmpen, window, cfg: SwConfig, end_i, end_j):
                 s = cfg.ma
             else:
                 s = -int(mmpen[i - 1])
+            # Local zero cells: continue only through a GAP predecessor
+            # (zero-score prefix ending in a gap — the reference reports
+            # 4M1D87M over 4S87M), otherwise clip (it reports 3S66M over
+            # a 69M with a zero-sum mismatch prefix). Both classes
+            # verified against the lambda paired-local golden.
             if cfg.local and H[i, j] == 0:
-                break  # local alignment start (standard SW traceback stop)
+                if H[i, j] == E[i, j]:
+                    state = "E"
+                    continue
+                if H[i, j] == F[i, j]:
+                    state = "F"
+                    continue
+                break  # local alignment start (zero-restart clip)
             if j >= 1 and H[i, j] == H[i - 1, j - 1] + s:
                 if rdc != rfc or rdc > 3 or rfc > 3:
                     edits.append(("M", i - 1, rfc, rdc))

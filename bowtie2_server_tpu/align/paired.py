@@ -735,22 +735,27 @@ class PairedAligner:
             # count toward the fragment — observed reference default);
             # --soft-clipped-unmapped-tlen excludes them
             if self.sc_unmapped_tlen:
-                lo = min(r1.pos, r2.pos)
+                us1, us2 = r1.pos, r2.pos
+                lo = min(us1, us2)
                 hi = max(r1.pos + _ref_span(r1), r2.pos + _ref_span(r2))
             else:
-                lo = min(r1.pos - _lead_clip(r1), r2.pos - _lead_clip(r2))
+                us1 = r1.pos - _lead_clip(r1)
+                us2 = r2.pos - _lead_clip(r2)
+                lo = min(us1, us2)
                 hi = max(r1.pos + _ref_span(r1) + _tail_clip(r1),
                          r2.pos + _ref_span(r2) + _tail_clip(r2))
             t = hi - lo
-            for r, other in ((r1, r2), (r2, r1)):
-                if r.pos != other.pos:
-                    r.tlen = t if r.pos < other.pos else -t
+            # the SIGN compares UNCLIPPED starts (soft-clipped bases count
+            # toward the fragment): a mate whose clip reaches further left
+            # is the leftmost even when its POS is larger — verified on
+            # the lambda paired-local golden (e.g. r37: 1S160M at POS+1
+            # gets +TLEN); ties -> the forward-strand mate is leftmost
+            for r, mine, theirs in ((r1, us1, us2), (r2, us2, us1)):
+                if mine != theirs:
+                    r.tlen = t if mine < theirs else -t
                 else:
-                    # same start: the forward-strand mate is "leftmost"
-                    # (observed reference behavior, e.g. equal-start
-                    # contained pairs)
                     r.tlen = t if r.fw else -t
-            if r1.pos == r2.pos and r1.fw == r2.fw:
+            if us1 == us2 and r1.fw == r2.fw:
                 r1.tlen, r2.tlen = t, -t
         else:
             r1.tlen = r2.tlen = 0

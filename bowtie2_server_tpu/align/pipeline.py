@@ -414,13 +414,16 @@ class LazyRecs:
     paired driver, record-by-record SAM emission)."""
 
     __slots__ = ("batch", "filtered", "qc", "_cache", "soa", "B", "ym_mask",
-                 "metrics")
+                 "metrics", "yf_codes")
 
-    def __init__(self, batch, filtered, qc_fail):
+    def __init__(self, batch, filtered, qc_fail, yf_codes=None):
         self.B = len(batch.names)
         self.batch = batch
         self.filtered = filtered
         self.qc = qc_fail
+        # per-read filter-reason code 0..3 = LN/NS/SC/QC (ref: AlnFlags::
+        # printYF priority, aligner_result.cpp:1095-1100)
+        self.yf_codes = yf_codes
         self._cache: dict[int, AlnRec] = {}
         self.soa: FastSoA | None = None
         self.ym_mask = None   # per-read repetitive flag under -M (YM:i)
@@ -450,7 +453,9 @@ class LazyRecs:
                 rec.preserved = b.bam_tags[i]
             if self.filtered[i]:
                 rec.filtered = True
-                if self.qc is not None and self.qc[i]:
+                if self.yf_codes is not None:
+                    rec.yf = ("LN", "NS", "SC", "QC")[int(self.yf_codes[i])]
+                elif self.qc is not None and self.qc[i]:
                     rec.yf = "QC"
             if self.soa is not None and self.soa.filled[i]:
                 self.soa.fill(rec, i)
@@ -642,7 +647,12 @@ class UnpairedAligner:
         nceil = per_len(self.sc.n_ceil_for, lens)
         minsc = per_len(self.sc.score_min_for, lens)
         perfect = per_len(self.sc.perfect_score, lens)
-        filtered = ((lens == 0) | (n_counts > nceil) | (perfect < minsc))
+        len_bad = lens == 0
+        n_bad = n_counts > nceil
+        sc_bad = perfect < minsc
+        filtered = len_bad | n_bad | sc_bad
+        yf_codes = np.where(len_bad, 0,
+                            np.where(n_bad, 1, np.where(sc_bad, 2, 3)))
         if self.qc_filter and batch.qc_fail is not None:
             filtered = filtered | batch.qc_fail
         active = ~filtered
@@ -652,7 +662,8 @@ class UnpairedAligner:
             minsc, self.sc.mm_penalties(), perfect=perfect,
             boost=boost, seed_skip=seed_skip)
         meta = dict(lens=lens, filtered=filtered, minsc=minsc,
-                    perfect=perfect, nceil=nceil, seed_skip=seed_skip)
+                    perfect=perfect, nceil=nceil, seed_skip=seed_skip,
+                    yf_codes=yf_codes)
         return ("fused", batch, boost, seed_skip, h, meta)
 
     def collect_wait(self, handle):
@@ -726,7 +737,7 @@ class UnpairedAligner:
         filtered = meta["filtered"]
         qc = (batch.qc_fail if self.qc_filter and batch.qc_fail is not None
               else None)
-        recs = LazyRecs(batch, filtered, qc)
+        recs = LazyRecs(batch, filtered, qc, meta.get("yf_codes"))
 
         fw_seqs, fw_quals = batch.seqs, batch.quals
         # rc/penalty rows are slow-path-only and PER-READ lazy: the whole-
@@ -1058,17 +1069,27 @@ class UnpairedAligner:
         # -- filters (ref: bt2_search.cpp:3323-3352) --
         n_counts = ((fw_seqs > 3) & (np.arange(L)[None, :] < lens[:, None])).sum(1)
         nceil = np.array([self.sc.n_ceil_for(int(l)) for l in lens])
-        filtered = (lens == 0) | (n_counts > nceil)
+        len_bad = lens == 0
+        n_bad = n_counts > nceil
         # reads where even a perfect alignment can't reach min score
         minsc = np.array([self.sc.score_min_for(int(l)) for l in lens])
         perfect = np.array([self.sc.perfect_score(int(l)) for l in lens])
-        filtered |= perfect < minsc
+        sc_bad = perfect < minsc
+        filtered = len_bad | n_bad | sc_bad
         if self.qc_filter and batch.qc_fail is not None:
             filtered = filtered | batch.qc_fail
             for i in np.nonzero(batch.qc_fail)[0]:
                 recs[i].yf = "QC"
         for i in np.nonzero(filtered)[0]:
             recs[i].filtered = True
+            # YF reason priority LN > NS > SC (> QC set above; ref:
+            # AlnFlags::printYF, aligner_result.cpp:1095-1100)
+            if len_bad[i]:
+                recs[i].yf = "LN"
+            elif n_bad[i]:
+                recs[i].yf = "NS"
+            elif sc_bad[i]:
+                recs[i].yf = "SC"
 
         from types import SimpleNamespace
         exact_mult = np.zeros(B, np.int64)  # # exact hits (for secbest)

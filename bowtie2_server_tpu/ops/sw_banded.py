@@ -115,7 +115,16 @@ def banded_traceback(rd, mmpen, band, cfg, end_i, end_k, K=DEFAULT_BAND):
             else:
                 s = -int(mmpen[i])
             h_up = H[i - 1, k] if i > 0 else 0
+            # Local zero cells: continue only through a GAP predecessor
+            # (see edits.py rect traceback note — golden-verified both
+            # ways), otherwise clip here.
             if cfg.local and H[i, k] == 0:
+                if H[i, k] == E[i, k]:
+                    state = "E"
+                    continue
+                if H[i, k] == F[i, k]:
+                    state = "F"
+                    continue
                 # zero-restart cell: the local alignment starts at i+1
                 i += 1
                 break

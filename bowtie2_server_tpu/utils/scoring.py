@@ -83,10 +83,12 @@ class Scoring:
         return np.full(256, self.mm_pen_max, dtype=np.int32)
 
     def score_min_for(self, rdlen: int) -> int:
-        """Minimum valid alignment score for a read of this length.
-
-        ref: bt2_search.cpp:3285-3320 — interpolates via SimpleFunc; in local
-        mode the result is clamped below the perfect score."""
+        """Minimum valid alignment score for a read of this length
+        (ref: bt2_search.cpp:3285-3320): SimpleFunc interpolation; local
+        mode clamps NEGATIVE minimums to 0, end-to-end clamps POSITIVE
+        minimums to 0 (the reference prints a warning and clamps). A
+        local minimum above the perfect score stays — the read is then
+        score-filtered with YF:Z:SC, as in the reference."""
         if self.bwa_sw_like:
             a = np.float32(self.match_bonus)
             v = int(max(a * np.float32(self.bwa_sw_T),
@@ -94,10 +96,10 @@ class Scoring:
                         * np.float32(np.log(rdlen))))
         else:
             v = self.score_min.f_int(rdlen)
-        if self.local:
-            perfect = self.perfect_score(rdlen)
-            if v > perfect:
-                v = int(perfect)
+        if self.local and v < 0:
+            v = 0
+        elif not self.local and v > 0:
+            v = 0
         return v
 
     def n_ceil_for(self, rdlen: int) -> int:

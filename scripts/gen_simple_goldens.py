@@ -34,7 +34,11 @@ from simple_tier_cases import CASES, parse_sam_body, write_inputs
 ROOT = Path(__file__).resolve().parent.parent
 BUILD = ROOT / ".refbuild/bowtie2-build-s"
 SERVER = ROOT / ".refbuild/bowtie2-align-server-s"
-CLIENT = ROOT / ".refbuild/bowtie2-align-s"
+# the -DBT2WEBCLIENT build lives in its own tree (.refbuild-client, see
+# .claude/skills/verify/SKILL.md); fall back to the in-tree name if a
+# combined build provided it
+_C1 = ROOT / ".refbuild-client/bowtie2-align-s"
+CLIENT = _C1 if _C1.exists() else ROOT / ".refbuild/bowtie2-align-s"
 WORK = ROOT / "tmp/simple_tier"
 OUT = ROOT / "tests/data/simple_tier_golden.json"
 
@@ -63,6 +67,44 @@ def build_index(ref_fa: Path, cache: dict) -> Path:
         assert r.returncode == 0, r.stderr.decode()[-800:]
     cache[key] = base
     return base
+
+
+def run_abort_case(case, idx_base: Path, in_args, port: int) -> bool:
+    """should_abort case: True iff the reference pair FAILS (server dies
+    at startup or the client exits nonzero) — the simple_tests.pl
+    should_abort semantics."""
+    d = WORK / case["name"]
+    out = d / "out.sam"
+    args = [str(a) for a in case["args"]]
+    cargs = [str(a) for a in case.get("cargs", ())]
+    srv = subprocess.Popen(
+        [str(SERVER), "-x", str(idx_base), "--server-port", str(port)]
+        + args,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True)
+    try:
+        for _ in range(100):
+            if srv.poll() is not None:
+                return srv.returncode != 0
+            try:
+                socket.create_connection(("127.0.0.1", port), 0.2).close()
+                break
+            except OSError:
+                time.sleep(0.05)
+        else:
+            return True   # never listened: treat as abort
+        r = subprocess.run(
+            [str(CLIENT), "-x", str(idx_base), "--server-host", "127.0.0.1",
+             "--server-port", str(port)] + args + cargs + in_args
+            + ["-S", str(out)],
+            capture_output=True, timeout=120)
+        return r.returncode != 0
+    finally:
+        try:
+            os.killpg(srv.pid, signal.SIGTERM)
+        except ProcessLookupError:
+            pass
+        srv.wait(timeout=10)
 
 
 def run_case(case, idx_base: Path, in_args, port: int):
@@ -126,6 +168,21 @@ def main():
         d = WORK / case["name"]
         ref_fa, in_args = write_inputs(case, d)
         idx_base = build_index(ref_fa, cache)
+        if case.get("abort"):
+            aborted = run_abort_case(case, idx_base, in_args, port)
+            port = _free_port(port + 1)
+            if not aborted:
+                print(f"FAIL {case['name']}: reference did NOT abort",
+                      file=sys.stderr)
+                n_fail += 1
+                continue
+            golden[case["name"]] = dict(
+                args=[str(a) for a in case["args"]
+                      + case.get("cargs", [])],
+                abort=True)
+            n_ok += 1
+            print(f"ok {case['name']}: aborts")
+            continue
         try:
             sam = run_case(case, idx_base, in_args, port)
         except Exception as e:

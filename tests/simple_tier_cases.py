@@ -84,16 +84,18 @@ E40C = REF1[180:220]
 
 
 def _c(name, fmt, args, reads=None, m1=None, m2=None, ref=None, skip=(),
-       cargs=(), tie=False, valid_pos=None):
+       cargs=(), tie=False, valid_pos=None, abort=False):
     return dict(name=name, fmt=fmt, args=list(args), cargs=list(cargs),
                 reads=reads, m1=m1, m2=m2, tie=tie, valid_pos=valid_pos,
-                ref=ref if ref is not None else _R1, skip=set(skip))
+                ref=ref if ref is not None else _R1, skip=set(skip),
+                abort=abort)
 
 
 def _u(name, seq, args=(), qual=None, fmt="fastq", ref=None, skip=(),
-       rname="r0", cargs=(), tie=False, valid_pos=None):
+       rname="r0", cargs=(), tie=False, valid_pos=None, abort=False):
     return _c(name, fmt, args, reads=[(rname, seq, qual)], ref=ref,
-              skip=skip, cargs=cargs, tie=tie, valid_pos=valid_pos)
+              skip=skip, cargs=cargs, tie=tie, valid_pos=valid_pos,
+              abort=abort)
 
 
 CASES = []
@@ -326,12 +328,199 @@ CASES += [
        ref=[("chr1", CHR1), ("chr2", CHR2)]),
 ]
 
+# ================= round-5 tier growth (ref: simple_tests.pl coverage) =====
+
+def _p(name, m1s, m2s, args=(), ref=None, skip=(), fmt="pair_fastq",
+       tie=False, cargs=()):
+    return _c(name, fmt, args, m1=[("p0", m1s, None)],
+              m2=[("p0", m2s, None)], ref=ref, skip=skip, tie=tie,
+              cargs=cargs)
+
+
+_M1 = REF1[50:90]                  # fw mate at 50
+_M2 = rc(REF1[150:190])            # rc mate at 150 (FR, frag 140)
+
+# ------------------------------------------ paired orientations/policies (14)
+CASES += [
+    _p("pe_fr_exact", _M1, _M2),
+    _p("pe_rf_r5", rc(REF1[50:90]), REF1[150:190], ["--rf"]),
+    _p("pe_ff_r5", REF1[50:90], REF1[150:190], ["--ff"]),
+    _p("pe_fr_wrong_order_discordant", _M2, _M1),
+    _p("pe_maxins_violated_r5", _M1, rc(REF1[250:290]), ["-X", "150"]),
+    _p("pe_maxins_ok_wide", _M1, rc(REF1[250:290]), ["-X", "300"]),
+    _p("pe_minins_violated_r5", _M1, rc(REF1[100:140]), ["-I", "120"]),
+    _p("pe_overlap_pair", REF1[50:90], rc(REF1[70:110])),
+    _p("pe_no_overlap_flag", REF1[50:90], rc(REF1[70:110]),
+       ["--no-overlap"]),
+    _p("pe_containment_r5", REF1[50:110], rc(REF1[60:100])),
+    _p("pe_no_contain_flag", REF1[50:110], rc(REF1[60:100]),
+       ["--no-contain"]),
+    _p("pe_dovetail_default_rejected", REF1[60:100], rc(REF1[50:90])),
+    _p("pe_dovetail_allowed_r5", REF1[60:100], rc(REF1[50:90]),
+       ["--dovetail"]),
+    _p("pe_same_start", REF1[50:90], rc(REF1[50:90])),
+]
+
+# ------------------------------------------------- paired fallbacks (8)
+_M2MM = mut(mut(mut(_M2, 5), 19), 33)    # mate2 with 3 spread substitutions
+CASES += [
+    _p("pe_mate_rescue_3mm", _M1, _M2MM),
+    _p("pe_mixed_mate2_garbage", _M1, "ACGT" * 10),
+    _p("pe_no_mixed", _M1, "ACGT" * 10, ["--no-mixed"]),
+    _p("pe_discordant_far", REF1[0:40], rc(CHR2[60:100]),
+       ref=[("ref1", REF1), ("chr2", CHR2)]),
+    _p("pe_no_discordant_far", REF1[0:40], rc(CHR2[60:100]),
+       ["--no-discordant"], ref=[("ref1", REF1), ("chr2", CHR2)]),
+    _p("pe_local_exact", _M1, _M2, ["--local"]),
+    _p("pe_local_clip_mate", _M1, "CCGGTT" + _M2[6:], ["--local"]),
+    _p("pe_both_mm", mut(_M1, 10), mut(_M2, 12)),
+]
+
+# ----------------------------------------- paired via other formats (4)
+CASES += [
+    _p("pe_tab6_mm", mut(_M1, 8), _M2, fmt="pair_tab6"),
+    _p("pe_interleaved_mm", _M1, mut(_M2, 9), fmt="pair_interleaved"),
+    _p("pe_tab6_rc_case", _M2, _M1, fmt="pair_tab6"),
+    _p("pe_interleaved_local", _M1, _M2, ["--local"],
+       fmt="pair_interleaved"),
+]
+
+# ------------------------------------------------- format breadth (17)
+CASES += [
+    _c("fasta_rc", "fasta", [], reads=[("r0", rc(E40), None)]),
+    _c("fasta_mm", "fasta", [], reads=[("r0", mut(E40, 20), None)]),
+    _c("fasta_two_refs", "fasta", [],
+       reads=[("r0", CHR1[10:50], None), ("r1", CHR2[60:100], None)],
+       ref=[("chr1", CHR1), ("chr2", CHR2)]),
+    _c("raw_rc", "raw", [], reads=[("r0", rc(E40), None)]),
+    _c("raw_mm", "raw", [], reads=[("r0", mut(E40, 7), None)]),
+    _c("tab5_multiread", "tab5", [],
+       reads=[("r0", E40, None), ("r1", E40B, None), ("r2", E40C, None)]),
+    _c("tab5_mm", "tab5", [], reads=[("r0", mut(E40, 15), None)]),
+    _c("tab5_rc", "tab5", [], reads=[("r0", rc(E40), None)]),
+    _c("qseq_multiread", "qseq", [],
+       reads=[("r0", E40, None), ("r1", E40B, None)]),
+    _c("qseq_rc", "qseq", [], reads=[("r0", rc(E40), None)]),
+    _c("qseq_lowqual_mm", "qseq", [],
+       reads=[("r0", mut(E40, 20), "I" * 20 + "#" + "I" * 19)]),
+    _c("cline_rc", "cline", [], reads=[("r0", rc(E40), None)]),
+    _c("cline_mm", "cline", [], reads=[("r0", mut(E40, 33), None)]),
+    _c("bam_exact", "bam", [], reads=[("r0", E40, None)]),
+    _c("bam_mm", "bam", [], reads=[("r0", mut(E40, 12), None)]),
+    _c("bam_rc", "bam", [], reads=[("r0", rc(E40), None)]),
+    _c("bam_multiread", "bam", [],
+       reads=[("r0", E40, None), ("r1", E40B, None), ("r2", E40C, None)]),
+]
+
+# ------------------------------------------------------- local mode (8)
+CASES += [
+    _u("local_exact_r5", E40, ["--local"]),
+    _u("local_clip_start", "CCGGTTAA" + REF1[120:160], ["--local"]),
+    _u("local_clip_end", REF1[120:160] + "TTGGCCAA", ["--local"]),
+    _u("local_clip_both_r5", "CCGG" + REF1[120:160] + "TTAA", ["--local"]),
+    _u("local_mm_inside", mut(REF1[120:170], 25), ["--local"]),
+    _u("local_preset_vsl", "CCGG" + REF1[120:160],
+       ["--very-sensitive-local"]),
+    _u("local_scoremin", "CCGGTTAA" + REF1[120:160],
+       ["--local", "--score-min", "G,30,6"]),
+    _u("local_ma_1", "CCGG" + REF1[120:160], ["--local", "--ma", "1"]),
+]
+
+# ---------------------------------------------------------- scoring (8)
+CASES += [
+    _u("score_mp_4", mut(E40, 20), ["--mp", "4"]),
+    _u("score_np_2", E40[:20] + "N" + E40[21:], ["--np", "2"]),
+    _u("score_rdg_tight", dele(R60, 25, 2), ["--rdg", "3,1"]),
+    _u("score_rfg_tight", ins(R60, 30), ["--rfg", "3,1"]),
+    _u("score_min_strict", mut(mut(E40, 10), 30),
+       ["--score-min", "L,0,-0.2"]),
+    _u("score_min_loose_200", mut(REF1[30:230], 100),
+       ["--score-min", "L,0,-0.9"]),
+    _u("gbar_8", ins(R60, 30), ["--gbar", "8"]),
+    _u("ignore_quals_mm", mut(E40, 20), ["--ignore-quals"],
+       qual="I" * 20 + "#" + "I" * 19),
+]
+
+# --------------------------------------------------------- reporting (6)
+CASES += [
+    _u("k2_dup8", SEG, ["-k", "2"], ref=_RD8, tie=True,
+       valid_pos=tuple(30 * (i + 1) + 40 * i + 1 for i in range(8))),
+    _u("a_dup2", SEG, ["-a"], ref=_RD2, tie=True, valid_pos=(31, 101)),
+    _u("k1_dup2_tie", SEG, [], ref=_RD2, tie=True, valid_pos=(31, 101)),
+    _u("mapq_unique_long", REF1[40:140]),
+    _u("mapq_mm1", mut(E40, 20)),
+    _u("M_2_dup8", SEG, ["-M", "2"], ref=_RD8, tie=True,
+       valid_pos=tuple(30 * (i + 1) + 40 * i + 1 for i in range(8))),
+]
+
+# ------------------------------------------------------ trimming (6)
+CASES += [
+    _u("trim5_4", "ACGT" + E40, cargs=["-5", "4"]),
+    _u("trim3_4", E40 + "ACGT", cargs=["-3", "4"]),
+    _u("trim5_and_3", "AC" + E40 + "GT", cargs=["-5", "2", "-3", "2"]),
+    _u("trim_to_30", E40, cargs=["--trim-to", "30"]),
+    _u("trim_to_3end", E40, cargs=["--trim-to", "3:30"]),
+    _u("trim_to_5end", E40, cargs=["--trim-to", "5:30"]),
+]
+
+# ------------------------------------------------------ N handling (5)
+CASES += [
+    _u("read_one_n", E40[:20] + "N" + E40[21:]),
+    _u("read_many_n_filtered", E40[:10] + "N" * 12 + E40[22:]),
+    _u("ref_n_gap_span", REFN[65:110], ref=[("refn", REFN)]),
+    _u("ref_lead_n", REFLEADN[30:70], ref=[("leadn", REFLEADN)]),
+    _u("n_ceil_zero", E40[:20] + "N" + E40[21:], ["--n-ceil", "L,0,0"]),
+]
+
+# ------------------------------------------------------ should-abort (5)
+CASES += [
+    # (a --trim-to/--trim3 abort case is deliberately absent: the fork's
+    # exclusivity check is dead code — saw_trim3/saw_trim_to are reset
+    # but never set, bt2_search.cpp:1030-1032/1639-1641/1669 — so the
+    # reference binaries accept the combo; our CLI keeps upstream's
+    # intended error)
+    _u("abort_sc_unmapped_tlen_e2e", E40,
+       ["--soft-clipped-unmapped-tlen"], abort=True),
+    _u("abort_preserve_tags_fastq", E40, ["--preserve-tags"], abort=True),
+    _u("abort_unknown_flag", E40, ["--nonsense-preset-flag"], abort=True),
+    _u("abort_bad_scoremin_func", E40, ["--score-min", "Z,1,2"],
+       abort=True),
+]
+
 # sanity: unique names
 _names = [c["name"] for c in CASES]
 assert len(_names) == len(set(_names)), "duplicate case names"
 
 
 # ------------------------------------------------------------ input writing
+
+def _write_unaligned_bam(path: Path, rows):
+    """Minimal unaligned BAM (BGZF) from (name, seq, qual) rows — the
+    tier's BAM-input fixture builder."""
+    import struct
+    import zlib
+
+    def bgzf(d):
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cd = c.compress(d) + c.flush()
+        out = struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6)
+        out += struct.pack("<BBHH", 66, 67, 2, len(cd) + 25)
+        out += cd + struct.pack("<II", zlib.crc32(d) & 0xFFFFFFFF, len(d))
+        return out
+
+    seq4 = "=ACMGRSVTWYHKDBN"
+    body = b"BAM\x01" + struct.pack("<ii", 0, 0)
+    for name, s, qual in rows:
+        s4 = bytes((seq4.index(s[i]) << 4)
+                   | (seq4.index(s[i + 1]) if i + 1 < len(s) else 0)
+                   for i in range(0, len(s), 2))
+        r = struct.pack("<iiBBHHHiiii", -1, -1, len(name) + 1, 0, 0, 0, 4,
+                        len(s), -1, -1, 0)
+        r += name.encode() + b"\0" + s4
+        r += bytes(min(ord(c) - 33, 93) for c in qual)
+        body += struct.pack("<i", len(r)) + r
+    path.write_bytes(bgzf(body) + bgzf(b""))
+
 
 def write_inputs(case: dict, d: Path):
     """Materialize ref FASTA + read inputs for a case under directory d.
@@ -376,6 +565,11 @@ def write_inputs(case: dict, d: Path):
             lines.append(f"M\t1\t2\t3\t4\t{i}\t0\t1\t{s}\t{qs}\t1\n")
         p.write_text("".join(lines))
         return fa, ["--qseq", "-U", str(p)]
+    if fmt == "bam":
+        p = d / "reads.bam"
+        _write_unaligned_bam(p, [(n, s, q((n, s, qq)))
+                                 for n, s, qq in case["reads"]])
+        return fa, ["-b", "-U", str(p)]
     if fmt == "pair_fastq":
         p1, p2 = d / "m1.fq", d / "m2.fq"
         p1.write_text("".join(f"@{n}\n{s}\n+\n{q((n, s, qq))}\n"

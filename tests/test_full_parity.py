@@ -77,4 +77,6 @@ def test_full_paired_local(tmp_path, lambda_idx):
     out = tmp_path / "ours.sam"
     _run_align(lambda_idx, out, "--local", "-1", str(READS / "reads_1.fq"),
                "-2", str(READS / "reads_2.fq"))
-    assert _rate(golden, out, paired=True) >= 0.965
+    # 99.66% measured after the round-5 unclipped-TLEN-sign and
+    # zero-cell gap-continuation traceback fixes (was 97.0%)
+    assert _rate(golden, out, paired=True) >= 0.993

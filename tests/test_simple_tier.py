@@ -63,6 +63,17 @@ def test_simple_tier(case, tmp_path):
                 + [str(a) for a in case.get("cargs", ())])
     assert gold["args"] == all_args, \
         f"{name}: golden was generated with different args — regenerate"
+    if gold.get("abort"):
+        # should_abort semantics (simple_tests.pl): the reference pair
+        # failed on these args; our CLI must error too (SystemExit with
+        # nonzero code, or any raised error — both exit nonzero from the
+        # real CLI)
+        with pytest.raises(BaseException) as ei:
+            _run_ours(case, tmp_path)
+        if isinstance(ei.value, SystemExit):
+            assert ei.value.code not in (0, None), \
+                f"{name}: ours exited 0 where the reference aborts"
+        return
     ours_sam = _run_ours(case, tmp_path)
 
     # the reference CLIENT emits slot names with a /1 (/2) mate suffix
