@@ -18,11 +18,13 @@ REFERENCE_CPU_PAIRS_PER_S = float(
     os.environ.get("REF_PAIRS_PER_S", "5327"))
 # measured 2026-08-19: reference server+client (-p 2) on this host's
 # 2-core CPU, 40960 synthetic 150bp FR pairs vs the 12 Mbp genome: 7.7 s
-N_PAIRS = int(os.environ.get("BENCH_PAIRS", "40960"))
+N_PAIRS = int(os.environ.get("BENCH_PAIRS", "196608"))  # 12 batches:
+# 1 warmup + 11 measured (tunnel jitter needs amortizing; 4 measured
+# batches swung 28k-72k pairs/s run to run)
 READ_LEN = 150
 CHROMS = 8
 CHROM_LEN = 1_500_000          # 12 Mbp total (S. cerevisiae scale)
-BATCH = 8192
+BATCH = 16384   # B=8192 measured 35k pairs/s, 16384 58k, 32768 60k
 FRAG_MU, FRAG_SD = 350, 40
 
 
