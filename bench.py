@@ -95,7 +95,7 @@ def main():
     # 67k -> 108k reads/s over depth 2 on the axon link)
     from collections import deque
     inflight = deque()
-    DEPTH = 3
+    DEPTH = 4   # measured: depth 3 = 240k, 4 = 244k, 5 = 240k reads/s
     for b in batches[1:]:
         inflight.append(al.align_async(b))
         n += len(b)

@@ -1467,8 +1467,13 @@ class CandGen:
             seed_len=pol.seed_len, K=self.K,
             k1=_pow2(4 * Bl * size_mult, lo=4096), chunk_w=cw,
             n_chunks=n_chunks,
-            NH=_pow2(8 * Bl * size_mult, lo=8192),
-            C_pre=_pow2(8 * Bl * size_mult, lo=8192),
+            # 6*B covers the measured element demand (~5.5/read on the
+            # bench shape, ~178k at B=32k) with ~10% headroom; non-pow2
+            # static shapes are fine, and the sticky escalation covers
+            # heavier workloads. Cuts the stage-4/5 compaction + 2-key
+            # dedup sort lanes 25% vs the old 8*B.
+            NH=max(6 * Bl * size_mult, 8192),
+            C_pre=max(6 * Bl * size_mult, 8192),
             # pack5: ~1 candidate/read is the common case, but batches sit
             # right AT that edge (a few reads with an extra diagonal), so
             # a fixed 1024-lane headroom avoids pathological escalation on
