@@ -286,6 +286,25 @@ def cmd_align(args):
     ticker = PerfMetrics(interval=args.met, out=met_fh,
                          per_read=args.met_per_read) \
         if (args.met_stderr or args.met_file or args.met_per_read) else None
+
+    def _wire_met(up_al):
+        """Attach the live TSV sources to the aligner (DP-shape columns,
+        host-traceback counters, device memory analogs)."""
+        if not ticker:
+            return
+        up_al.want_met = True
+        ticker.live_bt = up_al.bt_ctr
+        try:
+            import jax as _jax
+            devs = [up_al.dev] + ([up_al.dev_mirror]
+                                  if up_al.dev_mirror is not None else [])
+            ticker.mem_index = int(sum(
+                getattr(x, "nbytes", 0)
+                for d in devs for x in _jax.tree_util.tree_leaves(d)))
+        except Exception:
+            ticker.mem_index = 0
+        sa = getattr(up_al.idx.fw, "sa", None)
+        ticker.mem_resolve = int(sa.nbytes) if sa is not None else 0
     t0 = time.time()
     n = n_aligned = 0
     trim_to = None
@@ -347,6 +366,7 @@ def cmd_align(args):
                             no_mixed=args.no_mixed,
                             no_discordant=args.no_discordant,
                             sc_unmapped_tlen=args.sc_unmapped_tlen)
+        _wire_met(pal.up)
         pal.up.mapq_v = args.mapq_v
         if args.dp_log_opp:
             pal.dp_log_opp = open(args.dp_log_opp, "w")
@@ -369,6 +389,7 @@ def cmd_align(args):
                             no_mixed=args.no_mixed,
                             no_discordant=args.no_discordant,
                             sc_unmapped_tlen=args.sc_unmapped_tlen)
+        _wire_met(pal.up)
         pal.up.nofw, pal.up.norc = args.nofw, args.norc
         pal.up.mapq_v = args.mapq_v
         if args.dp_log_opp:
@@ -429,6 +450,7 @@ def cmd_align(args):
                             no_mixed=args.no_mixed,
                             no_discordant=args.no_discordant,
                             sc_unmapped_tlen=args.sc_unmapped_tlen)
+        _wire_met(pal.up)
         pal.up.mapq_v = args.mapq_v
         if args.dp_log_opp:
             pal.dp_log_opp = open(args.dp_log_opp, "w")
@@ -452,6 +474,7 @@ def cmd_align(args):
                             no_mixed=args.no_mixed,
                             no_discordant=args.no_discordant,
                             sc_unmapped_tlen=args.sc_unmapped_tlen)
+        _wire_met(pal.up)
         pal.up.mapq_v = args.mapq_v
         if args.dp_log_opp:
             pal.dp_log_opp = open(args.dp_log_opp, "w")
@@ -507,6 +530,7 @@ def cmd_align(args):
             reads_iter = iter_fastq(args.U, **fastq_kw)
         al = UnpairedAligner(idx, scoring=sc, policy=pol,
                              nofw=args.nofw, norc=args.norc)
+        _wire_met(al)
         al.qc_filter = args.qc_filter
         al.mapq_v = args.mapq_v
         if args.dp_log:

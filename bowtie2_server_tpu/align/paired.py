@@ -526,6 +526,22 @@ class PairedAligner:
                 jobs += [("1", i, opp_fw, wl, wr) for (_, _, opp_fw, wl, wr)
                          in self._rescue_jobs(st2, st1, i, scored2[i], b1)]
         self.last_metrics["dp_mate"] = len(jobs)   # DPMate* TSV columns
+        if self.up.want_met and jobs:
+            # DPMateLt* gap classes (ref: tallyGappedDp on the mate-search
+            # DPs, aligner_sw_common.h:246) — budget of the rescued mate
+            gc, sc = self.up._gapclass_cache, self.up.sc
+            lt10 = lt5 = lt3 = 0
+            for which, i, _, _, _ in jobs:
+                rl = int((b2 if which == "2" else b1).lens[i])
+                mx = gc.get(rl)
+                if mx is None:
+                    mx = max(sc.max_gaps(rl, "read"), sc.max_gaps(rl, "ref"))
+                    gc[rl] = mx
+                lt10 += mx < 10
+                lt5 += mx < 5
+                lt3 += mx < 3
+            self.last_metrics.update(dp_mate_lt10=lt10, dp_mate_lt5=lt5,
+                                     dp_mate_lt3=lt3)
         if jobs:
             self._run_rescue(jobs, st1, st2, b1, b2)
             # recompute scored/combos for affected reads

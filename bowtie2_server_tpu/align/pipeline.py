@@ -520,6 +520,15 @@ class UnpairedAligner:
             gapbar=self.sc.gapbar, local=self.sc.local)
         self.dp_log = None   # file handle: log DP problems (ref: --dp-log)
         self.timing = None   # dict: stage wall-clock accumulation (ref: -t)
+        # cumulative backtrace counters for the --met TSV (ref: SSEMetrics
+        # bt/btfail/btsucc/btcell, aligner_sw_common.h:292-295; ours count
+        # the host traceback passes — attempts, rejects, commits, and path
+        # cells walked)
+        self.bt_ctr = {"bt": 0, "btfail": 0, "btsucc": 0, "btcell": 0}
+        # per-read-length gap-budget cache for tallyGappedDp (see collect)
+        self._gapclass_cache: dict[int, int] = {}
+        self.want_met = False   # --met consumer attached: collect the
+        #                         DP-shape columns (costs ~1 ms/batch)
         self.qc_filter = False  # --qc-filter: honor qseq QC flags
         self.mapq_v = 2      # --mapq-v (ref: bt2_search.cpp:513 mapqv=2)
         # fused device pipeline (align/candgen.py) — the fast path
@@ -789,6 +798,36 @@ class UnpairedAligner:
             ungapped_fail=max(0, int(ctr[6]) - int(ctr[7])),
             exact_attempts=2 * n_act,
             exact_succ=int((res.exact_mult > 0).sum()))
+        # DP problem-shape columns (ref: tallyGappedDp,
+        # aligner_sw_common.h:246-251 — classed by the max gaps the score
+        # budget ALLOWS — plus SSEMetrics col/cell and dpsucc/dpfail,
+        # bt2_search.cpp:2440-2480). Ours: each interior candidate is one
+        # banded problem of rl columns x band-width cells. Host-side numpy
+        # over the candidate arrays (~1 ms at B=32k) — computed only when
+        # a --met consumer is attached (self.want_met).
+        if self.want_met and len(res.c_read):
+            intc = res.c_interior
+            dpl = lens[res.c_read[intc]].astype(np.int64)
+            if dpl.size:
+                gc = self._gapclass_cache
+                uls, inv = np.unique(dpl, return_inverse=True)
+                mxs = np.empty(len(uls), np.int64)
+                for ui, rl_u in enumerate(uls):
+                    v = gc.get(int(rl_u))
+                    if v is None:
+                        v = max(self.sc.max_gaps(int(rl_u), "read"),
+                                self.sc.max_gaps(int(rl_u), "ref"))
+                        gc[int(rl_u)] = v
+                    mxs[ui] = v
+                mx = mxs[inv]
+                ncols = int(dpl.sum())
+                succ = int((res.c_score[intc]
+                            >= meta["minsc"][res.c_read[intc]]).sum())
+                recs.metrics.update(
+                    dp_lt10=int((mx < 10).sum()), dp_lt5=int((mx < 5).sum()),
+                    dp_lt3=int((mx < 3).sum()), dp_col=ncols,
+                    dp_cell=ncols * self.band, dp_succ=succ,
+                    dp_fail=int(dpl.size) - succ)
 
         C = len(res.c_read)
         cands = ArrayCands(res.c_read, res.c_fw, res.c_diag)
@@ -1659,6 +1698,7 @@ class UnpairedAligner:
         (run straddle or N-ceiling), so the caller can try the next one."""
         cfg = self.sw_cfg
         read_start, read_end = 0, rl
+        tb = False   # a real traceback pass ran (counts toward bt metrics)
         if kind == "band":
             # fast path: pure-diagonal alignment along band offset bk
             if not cfg.local and bi == rl - 1 and \
@@ -1666,6 +1706,7 @@ class UnpairedAligner:
                 edits = edits_from_ungapped(rd[:rl], window, bk)
                 start_col = bk
             else:
+                tb = True
                 edits, start_col, read_start = banded_traceback(
                     rd[:rl], mm, window, cfg, bi, bk, K=self.band)
                 read_end = bi + 1
@@ -1675,13 +1716,22 @@ class UnpairedAligner:
                     ungapped_score(rd, mm, window, start_col, cfg) == bsc:
                 edits = edits_from_ungapped(rd[:rl], window, start_col)
             else:
+                tb = True
                 edits, start_col, read_start = rect_traceback(
                     rd[:rl], mm, window, cfg, bi, bk)
                 read_end = bi + 1
+        if tb:
+            bc = self.bt_ctr
+            bc["bt"] += 1
+            # path cells = read rows walked + gap steps (our traceback is
+            # single-pass, so the path length IS the cells-visited count)
+            bc["btcell"] += (read_end - read_start) + len(edits)
         stats = cigar_md_stats(rl, edits, read_start, read_end)
         xn = int((window[max(0, start_col):start_col + stats["ref_span"]]
                   > 3).sum())
         if xn > nc:
+            if tb:
+                self.bt_ctr["btfail"] += 1
             return False  # too many reference Ns (ref: nCeil / maxns)
         if kind == "rectr":
             # reference-space rectangle (N-leeway framing, _rect_frame):
@@ -1691,6 +1741,8 @@ class UnpairedAligner:
             pos = wl + start_col
             if pos < 0 or pos + stats["ref_span"] > int(
                     self.idx.ref_lens[rid]):
+                if tb:
+                    self.bt_ctr["btfail"] += 1
                 return False
             ref_id = np.array([rid])
             ref_off = np.array([pos])
@@ -1699,6 +1751,8 @@ class UnpairedAligner:
             ref_id, ref_off, valid = self.idx.joined_to_ref(
                 np.array([joined_pos]), aln_len=stats["ref_span"] - xn)
             if not valid[0]:
+                if tb:
+                    self.bt_ctr["btfail"] += 1
                 return False  # straddles a run boundary: reject
         rec.aligned = True
         rec.fw = bool(is_fw)
@@ -1717,4 +1771,6 @@ class UnpairedAligner:
         else:
             rec.seq = dna.revcomp_ascii(rec.orig_seq)
             rec.qual = rec.orig_qual[::-1]
+        if tb:
+            self.bt_ctr["btsucc"] += 1
         return True

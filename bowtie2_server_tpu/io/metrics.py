@@ -176,17 +176,30 @@ PERF_COLUMNS = (
 @dataclass
 class PerfMetrics:
     """The reference's --metrics TSV (ref: bt2_search.cpp:1923
-    PerfMetrics): same 129-column header and cadence. Columns whose
-    meaning is tied to the reference's SSE internals (DP16*/DP8* and the
-    cache counters the batch design replaces) emit 0; architecture-neutral
-    columns (Time/Read/Base/alignment-outcome/seed-search volumes/DP
-    problem counts/memory peaks) are tracked for real."""
+    PerfMetrics): same 129-column header and cadence.
+
+    Column mapping for the TPU design: all DP runs in ONE precision class
+    (int32 banded Pallas / rect numpy), reported under the DP16Ex*/
+    DP16Mate* family; DP8* stays 0 (no 8-bit class exists). DpSat stays 0
+    (int32 cannot saturate). The cache columns (IntraSCacheHit/
+    InterSCacheHit) stay 0 by design: batch dedup replaces the seed-hit
+    cache. Tracked for real: Time/Read/Base, alignment outcomes, seed
+    search volumes (SeedSearch/NRange/NElt), DP problem counts + gap-class
+    split (DPExLt*, tallyGappedDp semantics), DP col/cell volumes,
+    host-traceback counters (Bt/BtFail/BtSucc/BtCell via live_bt), and
+    memory peaks (RSS + device index/DP buffer analogs)."""
     interval: float = 1.0
     out: object = sys.stderr
     per_read: bool = False
     start: float = field(default_factory=time.time)
     last: float = field(default_factory=time.time)
     header_done: bool = False
+    # live references (set after aligner construction): the aligner's
+    # cumulative host-traceback counter dict, and device buffer sizes
+    live_bt: object = None      # dict bt/btfail/btsucc/btcell
+    mem_index: int = 0          # device-resident index bytes (Ebwt analog)
+    mem_dp: int = 0             # DP band/window buffer bytes
+    mem_resolve: int = 0        # SA-resolution array bytes
     # cumulative counters
     nread: int = 0
     nbase: int = 0
@@ -210,11 +223,23 @@ class PerfMetrics:
     ungapped_fail: int = 0
     dp_ex: int = 0      # seed-extension DP problems
     dp_mate: int = 0    # mate-rescue DP problems
+    dp_lt10: int = 0    # DP problems whose gap budget allows < 10 gaps
+    dp_lt5: int = 0
+    dp_lt3: int = 0
+    dp_mate_lt10: int = 0
+    dp_mate_lt5: int = 0
+    dp_mate_lt3: int = 0
+    dp_col: int = 0     # DP columns computed (sum of problem lengths)
+    dp_cell: int = 0    # DP cells computed (columns x band width)
+    dp_succ: int = 0    # DP problems reaching the score floor
+    dp_fail: int = 0
 
     def add_batch(self, nread, nbase, unf_read, unf_base, paired,
                   seed_searches=0, n_range=0, n_elt=0, exact_attempts=0,
                   exact_succ=0, ungapped_succ=0, ungapped_fail=0,
-                  dp_ex=0, dp_mate=0,
+                  dp_ex=0, dp_mate=0, dp_lt10=0, dp_lt5=0, dp_lt3=0,
+                  dp_mate_lt10=0, dp_mate_lt5=0, dp_mate_lt3=0,
+                  dp_col=0, dp_cell=0, dp_succ=0, dp_fail=0,
                   al_uni=0, al_rep=0, al_fail=0, con_uni=0, con_rep=0,
                   con_fail=0, dis=0):
         self.nread += nread
@@ -234,6 +259,16 @@ class PerfMetrics:
         self.ungapped_fail += ungapped_fail
         self.dp_ex += dp_ex
         self.dp_mate += dp_mate
+        self.dp_lt10 += dp_lt10
+        self.dp_lt5 += dp_lt5
+        self.dp_lt3 += dp_lt3
+        self.dp_mate_lt10 += dp_mate_lt10
+        self.dp_mate_lt5 += dp_mate_lt5
+        self.dp_mate_lt3 += dp_mate_lt3
+        self.dp_col += dp_col
+        self.dp_cell += dp_cell
+        self.dp_succ += dp_succ
+        self.dp_fail += dp_fail
         self.al_unp_uni += al_uni
         self.al_unp_rep += al_rep
         self.al_unp_fail += al_fail
@@ -252,6 +287,7 @@ class PerfMetrics:
             self.header_done = True
         import resource
         mem_peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+        bt = self.live_bt or {}
         vals = {c: 0 for c in PERF_COLUMNS}
         vals.update({
             "Time": int(time.time() - self.start),
@@ -269,9 +305,23 @@ class PerfMetrics:
             "ExactSucc": self.exact_succ,
             "UngappedSucc": self.ungapped_succ,
             "UngappedFail": self.ungapped_fail,
-            "DPExLt10Gaps": self.dp_ex, "DP16ExDps": self.dp_ex,
-            "DPMateLt10Gaps": self.dp_mate, "DP16MateDps": self.dp_mate,
-            "MemPeak": mem_peak, "EbwtMemPeak": mem_peak,
+            "DPExLt10Gaps": self.dp_lt10, "DPExLt5Gaps": self.dp_lt5,
+            "DPExLt3Gaps": self.dp_lt3,
+            "DPMateLt10Gaps": self.dp_mate_lt10,
+            "DPMateLt5Gaps": self.dp_mate_lt5,
+            "DPMateLt3Gaps": self.dp_mate_lt3,
+            "DP16ExDps": self.dp_ex, "DP16ExDpSucc": self.dp_succ,
+            "DP16ExDpFail": self.dp_fail, "DP16ExCol": self.dp_col,
+            "DP16ExCell": self.dp_cell,
+            "DP16ExBt": bt.get("bt", 0),
+            "DP16ExBtFail": bt.get("btfail", 0),
+            "DP16ExBtSucc": bt.get("btsucc", 0),
+            "DP16ExBtCell": bt.get("btcell", 0),
+            "DP16MateDps": self.dp_mate,
+            "MemPeak": mem_peak,
+            "EbwtMemPeak": self.mem_index or mem_peak,
+            "DPMemPeak": self.mem_dp,
+            "ResolveMemPeak": self.mem_resolve,
         })
         print("\t".join(str(vals[c]) for c in PERF_COLUMNS), file=self.out)
 

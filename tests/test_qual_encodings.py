@@ -90,9 +90,11 @@ def test_perf_metrics_counters_nonzero():
 
     idx = build_index("/root/reference/example/reference/lambda_virus.fa")
     al = UnpairedAligner(idx)
+    al.want_met = True
     out = _io.StringIO()
     pm = PerfMetrics(interval=0.0, out=out, per_read=True)
-    prev = None
+    pm.live_bt = al.bt_ctr
+    exp_lt10 = 0
     for batch in iter_fastq("/root/reference/example/reads/longreads.fq",
                             batch_size=512, upto=1024):
         recs = al.align_batch(batch)
@@ -100,13 +102,32 @@ def test_perf_metrics_counters_nonzero():
         assert recs.metrics["n_range"] > 0
         assert recs.metrics["n_elt"] > 0
         assert recs.metrics["dp_ex"] > 0
+        assert recs.metrics["dp_col"] > 0
+        assert recs.metrics["dp_cell"] == recs.metrics["dp_col"] * al.band
+        assert (recs.metrics["dp_succ"] + recs.metrics["dp_fail"]
+                <= recs.metrics["dp_ex"] + 8)  # counter-vs-array slack
+        exp_lt10 += recs.metrics["dp_lt10"]
+        # materialize every record so the host traceback counters tick
+        for r in recs:
+            _ = r.cigar
         pm.add_batch(len(recs), 1, len(recs), 1, False, **recs.metrics)
     lines = out.getvalue().strip().splitlines()
     assert lines[0].split("\t") == PERF_COLUMNS
     col = {c: i for i, c in enumerate(PERF_COLUMNS)}
     rows = [l.split("\t") for l in lines[1:]]
     assert len(rows) == 2
-    for name in ("SeedSearch", "NRange", "NElt", "DPExLt10Gaps",
-                 "UngappedSucc", "ExactAttempts"):
+    for name in ("SeedSearch", "NRange", "NElt", "DP16ExDps", "DP16ExCol",
+                 "DP16ExCell", "UngappedSucc", "ExactAttempts"):
         v = [int(r[col[name]]) for r in rows]
         assert v[0] > 0 and v[1] > v[0], (name, v)
+    # gap-class columns follow tallyGappedDp semantics (problems whose
+    # BUDGET allows < 10 gaps — 0 for these long reads under the default
+    # e2e budget, matching the reference's sws10 on the same input)
+    assert int(rows[-1][col["DPExLt10Gaps"]]) == exp_lt10
+    # long gapped reads force real host tracebacks: live bt counters tick
+    assert al.bt_ctr["bt"] > 0
+    assert al.bt_ctr["btsucc"] + al.bt_ctr["btfail"] <= al.bt_ctr["bt"]
+    assert al.bt_ctr["btcell"] >= al.bt_ctr["bt"]
+    # the last emitted row carries the counters as of its emission
+    assert int(rows[-1][col["DP16ExBt"]]) > 0
+    assert int(rows[-1][col["EbwtMemPeak"]]) > 0
