@@ -27,6 +27,9 @@ BATCH = 32768
 
 
 def make_workload(tmp: Path):
+    """Vectorized workload generation (the per-read Python loop used to
+    cost minutes at N=491k on this 2-core host — enough to threaten the
+    driver's bench timeout on a cold run)."""
     rng = np.random.default_rng(42)
     g = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
     bases = np.frombuffer(b"ACGT", np.uint8)
@@ -38,16 +41,19 @@ def make_workload(tmp: Path):
             for i in range(0, len(s), 70):
                 f.write(s[i : i + 70] + "\n")
     starts = rng.integers(0, GENOME_LEN - READ_LEN, N_READS)
-    names, seqs, quals = [], [], []
-    for i, st in enumerate(starts):
-        rd = g[st : st + READ_LEN].copy()
-        for _ in range(rng.integers(0, 4)):
-            rd[rng.integers(0, READ_LEN)] = rng.integers(0, 4)
-        if rng.random() < 0.5:
-            rd = (3 - rd)[::-1]
-        names.append(f"b{i}")
-        seqs.append(bases[rd].tobytes())
-        quals.append(b"I" * READ_LEN)
+    reads = g[starts[:, None] + np.arange(READ_LEN)]       # [N, L]
+    nmut = rng.integers(0, 4, N_READS)
+    for k in range(3):                  # 0-3 point mutations per read
+        m = nmut > k
+        pos = rng.integers(0, READ_LEN, N_READS)
+        val = rng.integers(0, 4, N_READS).astype(np.uint8)
+        reads[m, pos[m]] = val[m]
+    rc = rng.random(N_READS) < 0.5
+    reads[rc] = (3 - reads[rc])[:, ::-1]
+    arr = bases[reads]
+    names = [f"b{i}" for i in range(N_READS)]
+    seqs = [row.tobytes() for row in arr]
+    quals = [b"I" * READ_LEN] * N_READS
     return fa, names, seqs, quals
 
 

@@ -41,24 +41,30 @@ def make_workload(tmp: Path):
                 s = bases[g].tobytes().decode()
                 for i in range(0, len(s), 70):
                     f.write(s[i : i + 70] + "\n")
-    n1, s1, q1, n2, s2, q2 = [], [], [], [], [], []
+    # vectorized pair generation (the per-pair Python loop used to cost
+    # minutes at N=196k on this 2-core host)
     ql = b"I" * READ_LEN
-    for i in range(N_PAIRS):
-        g = chroms[int(rng.integers(0, CHROMS))]
-        frag = int(np.clip(rng.normal(FRAG_MU, FRAG_SD), 2 * READ_LEN, 600))
-        st = int(rng.integers(0, CHROM_LEN - frag))
-        m1 = g[st : st + READ_LEN].copy()
-        m2 = (3 - g[st + frag - READ_LEN : st + frag][::-1]).copy()
-        for m in (m1, m2):
-            for _ in range(int(rng.integers(0, 4))):
-                m[int(rng.integers(0, READ_LEN))] = int(rng.integers(0, 4))
-        n1.append(f"p{i}")
-        n2.append(f"p{i}")
-        s1.append(bases[m1].tobytes())
-        s2.append(bases[m2].tobytes())
-        q1.append(ql)
-        q2.append(ql)
-    return fa, (n1, s1, q1), (n2, s2, q2)
+    gall = np.stack(chroms)                                  # [C, CHROM_LEN]
+    ci = rng.integers(0, CHROMS, N_PAIRS)
+    frag = np.clip(rng.normal(FRAG_MU, FRAG_SD, N_PAIRS),
+                   2 * READ_LEN, 600).astype(np.int64)
+    st = (rng.random(N_PAIRS) * (CHROM_LEN - frag)).astype(np.int64)
+    offs = np.arange(READ_LEN)
+    m1 = gall[ci[:, None], st[:, None] + offs]               # [N, L]
+    m2 = 3 - gall[ci[:, None],
+                  (st + frag - READ_LEN)[:, None] + offs][:, ::-1]
+    for m in (m1, m2):
+        nmut = rng.integers(0, 4, N_PAIRS)
+        for k in range(3):
+            sel = nmut > k
+            pos = rng.integers(0, READ_LEN, N_PAIRS)
+            val = rng.integers(0, 4, N_PAIRS).astype(m.dtype)
+            m[sel, pos[sel]] = val[sel]
+    names = [f"p{i}" for i in range(N_PAIRS)]
+    s1 = [row.tobytes() for row in bases[m1]]
+    s2 = [row.tobytes() for row in bases[m2]]
+    qs = [ql] * N_PAIRS
+    return fa, (names, s1, qs), (list(names), s2, qs)
 
 
 def dump_fastq(tmp: Path):

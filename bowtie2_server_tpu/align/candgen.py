@@ -1287,6 +1287,7 @@ class CandGen:
             run_ends=put(np.append(idx.run_joined_start[1:],
                                    idx.n).astype(rdt)))
         self._joined_host = idx.joined
+        self._cache_base = getattr(idx, "cache_base", None)
         self.pol = pol
         self.sw_cfg = sw_cfg
         self.engine = engine
@@ -1323,7 +1324,15 @@ class CandGen:
                    else np.zeros(seed_len + 1, np.uint8))
             tab = None
             if not self.big:
-                tab = kmod.build_cuckoo_table(src, seed_len)
+                # disk cache beside the index: the batched-cuckoo build
+                # costs ~4 s/Mbp on this host; loads are ~100 ms
+                cb = self._cache_base
+                tab = (kmod.load_cuckoo_table(cb, seed_len, joined=src)
+                       if cb else None)
+                if tab is None:
+                    tab = kmod.build_cuckoo_table(src, seed_len)
+                    if tab is not None and cb:
+                        kmod.save_cuckoo_table(tab, cb, joined=src)
             if tab is not None:
                 hit = (kmod.cuckoo_to_device(tab, self._device), tab)
             else:

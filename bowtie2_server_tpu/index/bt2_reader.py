@@ -253,7 +253,7 @@ def load_bt2_index(base: str) -> FmIndex:
     except (ValueError, OSError):
         fw = mirror = None
     if fw is not None and mirror is not None:
-        return FmIndex(fw=fw, mirror=mirror, **geom)
+        return FmIndex(fw=fw, mirror=mirror, cache_base=str(base), **geom)
 
     # fallback: full rebuild from the reconstructed genome
     fasta = []

@@ -73,6 +73,9 @@ class FmIndex:
     ref_full_start: np.ndarray  # [n_refs] start of each ref within ref_full
     ref_lens: np.ndarray        # [n_refs] reference lengths (incl. Ns)
     ref_names: list[str]
+    # disk location this index was loaded from (None for in-memory
+    # builds); derived caches (the seed k-mer table) key off it
+    cache_base: str | None = None
 
     @property
     def n(self) -> int:
@@ -162,7 +165,8 @@ class FmIndex:
             run_joined_start=z["run_joined_start"],
             run_ref_id=z["run_ref_id"], run_ref_off=z["run_ref_off"],
             ref_full=z["ref_full"], ref_full_start=z["ref_full_start"],
-            ref_lens=z["ref_lens"], ref_names=list(meta["ref_names"]))
+            ref_lens=z["ref_lens"], ref_names=list(meta["ref_names"]),
+            cache_base=base)
 
 
 # ---- host-side scalar FM ops: the correctness oracle for device kernels ----

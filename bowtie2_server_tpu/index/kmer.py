@@ -52,20 +52,38 @@ def pack_keys(codes: np.ndarray, seed_len: int):
     hi packs the first n_hi = min(seed_len, 16) bases big-endian in its low
     2*n_hi bits; lo packs the remaining bases in its low 2*n_lo bits.
     Window starts beyond len(codes) - seed_len get arbitrary (unused) keys.
+
+    Logarithmic doubling: w[k][i] packs bases [i, i+2^k), so each level is
+    one shift-or over the full array — 4 levels reach 16 bases where the
+    naive per-base loop cost 16 passes (~5x wall on multi-Mbp genomes).
     """
     n = len(codes)
     n_hi = min(seed_len, 16)
     n_lo = seed_len - n_hi
-    c = codes.astype(np.uint64)
-    padded = np.zeros(n + seed_len, np.uint64)
-    padded[:n] = c
-    hi = np.zeros(n, np.uint64)
-    for t in range(n_hi):
-        hi = (hi << np.uint64(2)) | padded[t : t + n]
-    lo = np.zeros(n, np.uint64)
-    for t in range(n_hi, seed_len):
-        lo = (lo << np.uint64(2)) | padded[t : t + n]
-    return hi.astype(np.uint32), lo.astype(np.uint32), n_hi, n_lo
+    pad = np.zeros(n + seed_len + 16, np.uint32)
+    pad[:n] = codes
+    w = [pad]                       # w[k]: [*, ] bases [i, i+2^k)
+    for k in range(4):
+        span = 1 << k
+        w.append((w[k] << np.uint32(2 * span))
+                 | np.concatenate([w[k][span:],
+                                   np.zeros(span, np.uint32)]))
+
+    def span_pack(start: int, length: int) -> np.ndarray:
+        """Packed bases [start, start+length) for every window start."""
+        out = None
+        off = start
+        for k in range(4, -1, -1):
+            if (length >> k) & 1:
+                piece = w[k][off : off + n]
+                out = piece if out is None else \
+                    ((out << np.uint32(2 << k)) | piece)
+                off += 1 << k
+        return out if out is not None else np.zeros(n, np.uint32)
+
+    hi = span_pack(0, n_hi)
+    lo = span_pack(n_hi, n_lo)
+    return hi, lo, n_hi, n_lo
 
 
 def build_kmer_table(joined: np.ndarray, seed_len: int,
@@ -187,28 +205,46 @@ def build_cuckoo_table(joined: np.ndarray, seed_len: int,
         T = 1 << tbits
         for salt in range(1, max_salts + 1):
             h1, h2 = _buckets(uhi, ulo, salt, tbits, np)
-            tbl_key = np.full((T, 2), -1, np.int64)
-            pending = np.arange(n_u, dtype=np.int64)
-            failed = False
-            for _ in range(64):
+            tbl_key = np.full((T, 2), -1, np.int32)
+            pending = np.arange(n_u, dtype=np.int32)
+            # Batched random-walk cuckoo insertion: each round scatters
+            # every pending key at its emptier bucket (last-write-wins);
+            # keys whose BOTH buckets are full evict a RANDOMLY chosen
+            # (bucket, slot) — per-(key, round) mixed bits, so lockstep
+            # two-cycles cannot form — and the displaced occupant rejoins
+            # the pending set. (2 buckets x 2 slots)-cuckoo supports >90%
+            # load, so at our <=0.5 load the walk converges in ~64 rounds
+            # — the old fail-on-first-full-bucket rule made 12 Mbp
+            # genomes cycle every (salt, size) combo for minutes each
+            # before falling back to the sorted table.
+            for it in range(256):
                 if not len(pending):
                     break
-                occ = (tbl_key >= 0).sum(1)
                 b1, b2 = h1[pending], h2[pending]
-                o1, o2 = occ[b1], occ[b2]
-                tgt = np.where(o1 <= o2, b1, b2)
-                slot = occ[tgt]
-                if (slot >= 2).any():
-                    # a key whose both buckets are full: occupancy only
-                    # grows, so this salt cannot place it
-                    failed = True
-                    break
+                r1 = tbl_key[b1]                        # [P, 2]
+                r2 = tbl_key[b2]
+                o1 = (r1 >= 0).sum(1)
+                o2 = (r2 >= 0).sum(1)
+                pick1 = o1 <= o2
+                tgt = np.where(pick1, b1, b2)
+                occt = np.where(pick1[:, None], r1, r2) >= 0
+                full = occt[:, 0] & occt[:, 1]
+                rr = (pending.astype(np.uint32) * np.uint32(0x9E3779B1)
+                      + np.uint32((it * 0x85EBCA77) & 0xFFFFFFFF))
+                rr = ((rr ^ (rr >> np.uint32(15)))
+                      * np.uint32(0xC2B2AE3D)) >> np.uint32(13)
+                rr = rr.astype(np.int32)
+                tgt = np.where(full, np.where((rr & 1) > 0, b1, b2), tgt)
+                slot = np.where(occt[:, 0], 1, 0)
+                slot = np.where(full, (rr >> 1) & 1, slot).astype(np.int32)
+                old = tbl_key[tgt, slot]
                 tbl_key[tgt, slot] = pending   # last-write-wins scatter
                 landed = tbl_key[tgt, slot] == pending
-                pending = pending[~landed]
-            else:
-                failed = True
-            if not failed and not len(pending):
+                disp = old[landed]             # displaced occupants
+                pending = np.concatenate(
+                    [pending[~landed], disp[disp >= 0]])
+            failed = bool(len(pending))
+            if not failed:
                 table = np.zeros((T, 8), np.uint32)
                 for s in range(2):
                     occ_m = tbl_key[:, s] >= 0
@@ -222,6 +258,61 @@ def build_cuckoo_table(joined: np.ndarray, seed_len: int,
                                    tbits=tbits, salt=salt)
         tbits += 1
     return None
+
+
+def cuckoo_cache_path(cache_base: str, seed_len: int) -> str:
+    return f"{cache_base}.k{seed_len}.cuckoo.npz"
+
+
+def save_cuckoo_table(tab: CuckooTable, cache_base: str,
+                      joined: np.ndarray | None = None) -> None:
+    """Persist the built table next to its index (build costs ~45 s for a
+    12 Mbp genome; loads are ~100 ms)."""
+    import tempfile, os
+    path = cuckoo_cache_path(cache_base, tab.seed_len)
+    n, sig = _joined_sig(joined) if joined is not None else (0, 0)
+    # atomic: concurrent processes may race on the same index
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, table=tab.table, pos=tab.pos,
+                     meta=np.array([tab.seed_len, tab.n_hi, tab.n_lo,
+                                    tab.tbits, tab.salt, n, sig], np.int64))
+        os.replace(tmp, path)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _joined_sig(joined: np.ndarray) -> tuple[int, int]:
+    """Cheap staleness signature: (length, checksum of a strided sample)."""
+    sample = joined[:: max(1, len(joined) // 65536)]
+    s = int((sample.astype(np.uint64)
+             * (np.arange(len(sample), dtype=np.uint64)
+                * np.uint64(2654435761) + np.uint64(1))).sum())
+    return len(joined), s & 0x7FFFFFFFFFFFFFFF   # int64-safe
+
+
+def load_cuckoo_table(cache_base: str, seed_len: int,
+                      joined: np.ndarray | None = None
+                      ) -> CuckooTable | None:
+    try:
+        z = np.load(cuckoo_cache_path(cache_base, seed_len))
+        m = z["meta"]
+        if int(m[0]) != seed_len:
+            return None
+        if joined is not None:
+            n, sig = _joined_sig(joined)
+            if len(m) < 7 or int(m[5]) != n or int(m[6]) != sig:
+                return None   # index rebuilt at this path: stale cache
+        return CuckooTable(table=z["table"], pos=z["pos"],
+                           seed_len=int(m[0]), n_hi=int(m[1]),
+                           n_lo=int(m[2]), tbits=int(m[3]), salt=int(m[4]))
+    except (OSError, KeyError, ValueError):
+        return None
 
 
 def cuckoo_to_device(tab: CuckooTable, device=None) -> DeviceCuckoo:
